@@ -1,0 +1,102 @@
+"""Core pytree data types.
+
+Everything is fixed-shape + mask: the TPU-native replacement for the
+reference's dynamically sized `pcl::PointCloud` containers
+(reference `include/xchu_mapping/common.h:21-49` for Pose6D).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class Cloud(NamedTuple):
+    """Fixed-capacity point cloud.
+
+    xyz:       float32[N, 3]  (padded entries are zeros)
+    intensity: float32[N]
+    mask:      bool[N]        True for valid points
+    """
+
+    xyz: jnp.ndarray
+    intensity: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[0]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.mask)
+
+
+def make_cloud(xyz, intensity=None, mask=None, capacity: int | None = None) -> Cloud:
+    """Build a Cloud from (possibly ragged) arrays, padding/truncating to capacity."""
+    xyz = jnp.asarray(xyz, jnp.float32)
+    n = xyz.shape[0]
+    if intensity is None:
+        intensity = jnp.zeros((n,), jnp.float32)
+    else:
+        intensity = jnp.asarray(intensity, jnp.float32)
+    if mask is None:
+        mask = jnp.ones((n,), bool)
+    else:
+        mask = jnp.asarray(mask, bool)
+    if capacity is not None and capacity != n:
+        if n > capacity:
+            xyz, intensity, mask = xyz[:capacity], intensity[:capacity], mask[:capacity]
+        else:
+            pad = capacity - n
+            xyz = jnp.pad(xyz, ((0, pad), (0, 0)))
+            intensity = jnp.pad(intensity, (0, pad))
+            mask = jnp.pad(mask, (0, pad))
+    xyz = jnp.where(mask[:, None], xyz, 0.0)
+    return Cloud(xyz=xyz, intensity=intensity, mask=mask)
+
+
+class VoxelGrid(NamedTuple):
+    """Dense rolling NDT voxel-statistics grid (see ops/voxel_map.py).
+
+    Replaces the reference's `pclomp::VoxelGridCovariance` leaf hash + kd-tree
+    (`voxel_grid_covariance_omp.h:92-187`) and `cpu::VoxelGrid`+Octree with a
+    direct-addressed dense tensor anchored near the vehicle.
+
+    origin: float32[3]    world position of voxel (0,0,0) corner
+    n:      float32[V]    per-voxel point counts (V = gx*gy*gz)
+    s1:     float32[V,3]  Σx
+    s2:     float32[V,6]  Σxxᵀ packed upper-triangular (xx,xy,xz,yy,yz,zz)
+    mean:   float32[V,3]  finalized mean (valid voxels only)
+    icov:   float32[V,6]  finalized inverse covariance, packed upper-tri
+    valid:  bool[V]       n ≥ min_points_per_voxel
+    """
+
+    origin: jnp.ndarray
+    n: jnp.ndarray
+    s1: jnp.ndarray
+    s2: jnp.ndarray
+    mean: jnp.ndarray
+    icov: jnp.ndarray
+    valid: jnp.ndarray
+
+
+class KeyframeStore(NamedTuple):
+    """Fixed-capacity keyframe database (reference pgo keyframe arrays,
+    `pgo.h:75-99`).
+
+    poses:   float32[K, 6]   odometry pose at keyframe (x y z roll pitch yaw)
+    opt_poses: float32[K, 6] optimized pose (rewritten after each PGO solve,
+                             analogue of `keyframePosesUpdated`, pgo_node.cpp:507-521)
+    stamps:  float32[K]      timestamps
+    clouds_xyz: float32[K, P, 3]  downsampled keyframe clouds (body frame)
+    clouds_mask: bool[K, P]
+    count:   int32           number of live keyframes
+    """
+
+    poses: jnp.ndarray
+    opt_poses: jnp.ndarray
+    stamps: jnp.ndarray
+    clouds_xyz: jnp.ndarray
+    clouds_mask: jnp.ndarray
+    count: jnp.ndarray
