@@ -1,0 +1,206 @@
+"""NDT scan-to-map alignment — the odometry hot loop.
+
+TPU-native re-design of `pclomp::NormalDistributionsTransform`
+(`pclomp/ndt_omp_impl.hpp:75-164` computeTransformation, `:177-283`
+computeDerivatives, `:762-916` More-Thuente line search) and
+`cpu::NormalDistributionsTransform`:
+
+- The per-point score/∇/Hessian accumulation (OMP-parallel partial sums in the
+  reference, `:187-280`) becomes one fused XLA program: transform → DIRECT7
+  gather → Gaussian score → `jnp.sum` reduction, with the exact gradient and
+  Hessian obtained by `jax.grad` / forward-over-reverse `jax.hessian` of the
+  score instead of the hand-packed angular-Jacobian tables (`:288-398`).
+- The whole Newton iteration INCLUDING the More-Thuente line search runs
+  on-device under `lax.while_loop` — a single jit-compiled `align` call per
+  scan, no host round-trips.
+
+The Gaussian mixture constants d1/d2 follow `ndt_omp_impl.hpp:80-87`
+(outlier_ratio-derived).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from xchu_slam_tpu.ops import voxel_map as vm
+from xchu_slam_tpu.utils import linalg, se3
+
+
+class NdtSpec(NamedTuple):
+    """Static alignment hyper-parameters (reference odom_node.cpp:56-90)."""
+
+    step_size: float = 0.1
+    trans_eps: float = 0.01
+    max_iterations: int = 30
+    outlier_ratio: float = 0.55
+    resolution: float = 2.0
+    ls_max_trials: int = 10
+
+
+def spec_from_config(ndt_cfg) -> NdtSpec:
+    return NdtSpec(
+        step_size=ndt_cfg.step_size,
+        trans_eps=ndt_cfg.trans_eps,
+        max_iterations=ndt_cfg.max_iterations,
+        outlier_ratio=ndt_cfg.outlier_ratio,
+        resolution=ndt_cfg.resolution,
+        ls_max_trials=ndt_cfg.line_search_max_trials,
+    )
+
+
+def gauss_constants(outlier_ratio: float, resolution: float) -> tuple[float, float]:
+    """d1, d2 from the outlier-ratio mixture (ndt_omp_impl.hpp:80-87)."""
+    c1 = 10.0 * (1.0 - outlier_ratio)
+    c2 = outlier_ratio / (resolution ** 3)
+    d3 = -math.log(c2)
+    d1 = -math.log(c1 + c2) - d3
+    d2 = -2.0 * math.log((-math.log(c1 * math.exp(-0.5) + c2) - d3) / d1)
+    return d1, d2
+
+
+class AlignResult(NamedTuple):
+    pose: jnp.ndarray          # float32[6]
+    iterations: jnp.ndarray    # int32
+    converged: jnp.ndarray     # bool
+    score: jnp.ndarray         # float32 — final NDT loss (lower = better fit)
+    matched_frac: jnp.ndarray  # float32 — fraction of source pts hitting ≥1 voxel
+    fitness: jnp.ndarray       # float32 — mean sq dist to matched voxel means
+
+
+def ndt_loss(pose, src_xyz, src_mask, grid, gspec: vm.GridSpec,
+             d1: float, d2: float):
+    """NDT negative-likelihood loss (lower is better; d1 < 0)."""
+    pts = se3.rotate_translate(pose, src_xyz)
+    mean_w, icov6, vvalid = vm.lookup7(grid, gspec, pts)
+    delta = pts[:, None, :] - mean_w
+    q = linalg.sym6_matvec(icov6, delta)
+    x = jnp.sum(delta * q, -1)
+    use = vvalid & src_mask[:, None]
+    e = jnp.exp(-0.5 * d2 * jnp.maximum(x, 0.0))
+    return jnp.sum(jnp.where(use, d1 * e, 0.0))
+
+
+def _fitness(pose, src_xyz, src_mask, grid, gspec):
+    """Diagnostics: matched fraction + mean squared distance to the nearest
+    DIRECT7 voxel mean (analogue of `getFitnessScore`)."""
+    pts = se3.rotate_translate(pose, src_xyz)
+    mean_w, _, vvalid = vm.lookup7(grid, gspec, pts)
+    d2_ = jnp.sum((pts[:, None, :] - mean_w) ** 2, -1)
+    d2_ = jnp.where(vvalid, d2_, jnp.inf)
+    dmin = jnp.min(d2_, axis=1)
+    matched = src_mask & jnp.isfinite(dmin)
+    n = jnp.maximum(jnp.sum(matched), 1)
+    fitness = jnp.sum(jnp.where(matched, dmin, 0.0)) / n
+    frac = jnp.sum(matched) / jnp.maximum(jnp.sum(src_mask), 1)
+    return frac, fitness
+
+
+@functools.partial(jax.jit, static_argnames=("gspec", "nspec"))
+def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
+          nspec: NdtSpec) -> AlignResult:
+    """Newton + More-Thuente NDT alignment, fully on-device.
+
+    Mirrors `computeTransformation` (ndt_omp_impl.hpp:75-164): per iteration
+    compute ∇/H, solve the 6×6 Newton system, line-search the step length in
+    (0, step_size], stop when the accepted step norm < trans_eps or
+    max_iterations is hit.
+    """
+    d1, d2 = gauss_constants(nspec.outlier_ratio, nspec.resolution)
+
+    def loss(p):
+        return ndt_loss(p, src_xyz, src_mask, grid, gspec, d1, d2)
+
+    vg_fn = jax.value_and_grad(loss)
+    hess_fn = jax.hessian(loss)
+
+    mu = 1e-4   # sufficient-decrease (Armijo) constant, as in MT (:771)
+    nu = 0.9    # curvature constant
+
+    def line_search(pose, direction, phi0, dphi0, alpha0):
+        """Bounded More-Thuente-style search along unit `direction`.
+
+        Returns the accepted step length (falls back to the best trial seen)."""
+
+        def phi_dphi(a):
+            f = lambda aa: loss(pose + aa * direction)
+            v, dv = jax.jvp(f, (a,), (jnp.ones_like(a),))
+            return v, dv
+
+        def cond(state):
+            a, t, done, best_a, best_phi = state
+            return (~done) & (t < nspec.ls_max_trials)
+
+        def body(state):
+            a, t, done, best_a, best_phi = state
+            phi_a, dphi_a = phi_dphi(a)
+            suff = phi_a <= phi0 + mu * a * dphi0
+            curv = jnp.abs(dphi_a) <= nu * jnp.abs(dphi0)
+            accept = suff & curv
+            better = phi_a < best_phi
+            best_a = jnp.where(better, a, best_a)
+            best_phi = jnp.where(better, phi_a, best_phi)
+            # quadratic interpolation backtrack, guarded to [0.1a, 0.5a]
+            denom = 2.0 * (phi_a - phi0 - dphi0 * a)
+            a_q = jnp.where(jnp.abs(denom) > 1e-12,
+                            -dphi0 * a * a / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0),
+                            0.5 * a)
+            a_next = jnp.clip(a_q, 0.1 * a, 0.5 * a)
+            # if sufficient decrease holds but curvature fails with dphi<0,
+            # the step is too short — expand toward alpha0 instead
+            expand = suff & (~curv) & (dphi_a < 0.0)
+            a_next = jnp.where(expand, jnp.minimum(2.0 * a, alpha0), a_next)
+            return (jnp.where(accept, a, a_next), t + 1, done | accept,
+                    best_a, best_phi)
+
+        a_fin, _, accepted, best_a, best_phi = jax.lax.while_loop(
+            cond, body, (alpha0, jnp.int32(0), jnp.bool_(False),
+                         jnp.float32(0.0), jnp.float32(jnp.inf)),
+        )
+        a_out = jnp.where(accepted, a_fin, best_a)
+        # if nothing improved over phi0, take no step
+        improved = best_phi < phi0
+        return jnp.where(accepted | improved, a_out, 0.0)
+
+    def newton_body(state):
+        pose, it, _converged, _ = state
+        phi0, g = vg_fn(pose)
+        H = hess_fn(pose)
+        # Eigenvalue-shifted Newton (the reference's JacobiSVD solve, :119-121,
+        # does not guard indefiniteness; shifting to PD guarantees a descent
+        # direction far from the optimum and reduces to pure Newton near it).
+        lam = jnp.linalg.eigvalsh(H)
+        shift = jnp.maximum(0.0, -lam[0]) + 1e-3 * (jnp.abs(lam[-1]) + 1.0)
+        Hr = H + shift * jnp.eye(6, dtype=H.dtype)
+        dp = -jnp.linalg.solve(Hr, g)
+        # belt-and-braces: fall back to steepest descent if numerics betray us
+        descent = jnp.dot(dp, g) < 0.0
+        dp = jnp.where(descent, dp, -g)
+        dpn = jnp.linalg.norm(dp) + 1e-12
+        direction = dp / dpn
+        dphi0 = jnp.dot(g, direction)
+        alpha0 = jnp.minimum(dpn, nspec.step_size)
+        alpha = line_search(pose, direction, phi0, dphi0, alpha0)
+        new_pose = pose + alpha * direction
+        step_norm = alpha
+        converged = step_norm < nspec.trans_eps
+        return new_pose, it + 1, converged, step_norm
+
+    def newton_cond(state):
+        _pose, it, converged, _ = state
+        return (~converged) & (it < nspec.max_iterations)
+
+    pose, iters, converged, _ = jax.lax.while_loop(
+        newton_cond,
+        newton_body,
+        (jnp.asarray(init_pose, jnp.float32), jnp.int32(0), jnp.bool_(False),
+         jnp.float32(jnp.inf)),
+    )
+    score = ndt_loss(pose, src_xyz, src_mask, grid, gspec, d1, d2)
+    frac, fitness = _fitness(pose, src_xyz, src_mask, grid, gspec)
+    return AlignResult(pose=pose, iterations=iters, converged=converged,
+                       score=score, matched_frac=frac, fitness=fitness)

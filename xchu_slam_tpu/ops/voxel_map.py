@@ -1,0 +1,228 @@
+"""Dense rolling NDT voxel-statistics grid.
+
+TPU-native re-design of the reference's NDT target-map machinery:
+- `pclomp::VoxelGridCovariance` two-pass Σx/Σxxᵀ accumulation + per-leaf
+  mean/cov/eigen-inflation/icov (`voxel_grid_covariance_omp_impl.hpp:159-364`)
+- `cpu::VoxelGrid` incremental `updateVoxelGrid` insertion
+  (`ndt_cpu/NormalDistributionsTransform.h:39`, `VoxelGrid.h:17-150`)
+- `getNeighborhoodAtPoint7/1` DIRECT lattice lookups
+  (`voxel_grid_covariance_omp_impl.hpp:373-441`)
+
+Instead of a hash map + kd-tree/octree over leaves, the map is a
+direct-addressed dense tensor of voxel statistics anchored near the vehicle
+(a rolling grid). Scatter-adds build the statistics; DIRECT7 neighborhoods are
+constant-offset gathers; there is no pointer structure anywhere.
+
+Numerical note: statistics are accumulated in *voxel-corner-relative*
+coordinates so Σxxᵀ − n·μμᵀ never cancels catastrophically in float32, and the
+accumulated stats are invariant under grid recentring (only indices move).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from xchu_slam_tpu.types import VoxelGrid
+from xchu_slam_tpu.utils import linalg
+
+
+class GridSpec(NamedTuple):
+    """Static grid geometry (hashable; closed over by jitted fns)."""
+
+    gx: int
+    gy: int
+    gz: int
+    resolution: float
+    min_points: int
+    eig_inflation: float
+
+    @property
+    def num_voxels(self) -> int:
+        return self.gx * self.gy * self.gz
+
+
+def spec_from_config(ndt_cfg) -> GridSpec:
+    return GridSpec(
+        gx=ndt_cfg.grid_x,
+        gy=ndt_cfg.grid_y,
+        gz=ndt_cfg.grid_z,
+        resolution=ndt_cfg.resolution,
+        min_points=ndt_cfg.min_points_per_voxel,
+        eig_inflation=ndt_cfg.eig_inflation,
+    )
+
+
+def make_grid(spec: GridSpec, origin: jnp.ndarray) -> VoxelGrid:
+    """Empty grid whose voxel (0,0,0) corner sits at `origin` (float32[3])."""
+    V = spec.num_voxels
+    return VoxelGrid(
+        origin=jnp.asarray(origin, jnp.float32),
+        n=jnp.zeros((V,), jnp.float32),
+        s1=jnp.zeros((V, 3), jnp.float32),
+        s2=jnp.zeros((V, 6), jnp.float32),
+        mean=jnp.zeros((V, 3), jnp.float32),
+        icov=jnp.zeros((V, 6), jnp.float32),
+        valid=jnp.zeros((V,), bool),
+    )
+
+
+def centered_origin(spec: GridSpec, centre_xyz) -> jnp.ndarray:
+    """Voxel-aligned origin placing `centre_xyz` at the grid centre."""
+    half = jnp.array(
+        [spec.gx // 2, spec.gy // 2, spec.gz // 2], jnp.float32
+    ) * spec.resolution
+    c = jnp.asarray(centre_xyz, jnp.float32)
+    return jnp.floor((c - half) / spec.resolution) * spec.resolution
+
+
+def _voxel_index3(spec: GridSpec, origin: jnp.ndarray, xyz: jnp.ndarray):
+    """World points → integer voxel coords + in-bounds flag."""
+    idx = jnp.floor((xyz - origin) / spec.resolution).astype(jnp.int32)
+    inb = (
+        (idx[..., 0] >= 0) & (idx[..., 0] < spec.gx)
+        & (idx[..., 1] >= 0) & (idx[..., 1] < spec.gy)
+        & (idx[..., 2] >= 0) & (idx[..., 2] < spec.gz)
+    )
+    return idx, inb
+
+
+def _flat(spec: GridSpec, idx3: jnp.ndarray, inb: jnp.ndarray) -> jnp.ndarray:
+    """int voxel coords → flat index; out-of-bounds → sentinel V (dropped/empty)."""
+    flat = (idx3[..., 0] * spec.gy + idx3[..., 1]) * spec.gz + idx3[..., 2]
+    return jnp.where(inb, flat, spec.num_voxels)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",), donate_argnames=("grid",))
+def insert_points(grid: VoxelGrid, xyz: jnp.ndarray, mask: jnp.ndarray,
+                  spec: GridSpec) -> VoxelGrid:
+    """Accumulate scan points into the grid statistics (incremental
+    `updateVoxelGrid` semantics — no rebuild, just scatter-add)."""
+    idx3, inb = _voxel_index3(spec, grid.origin, xyz)
+    flat = _flat(spec, idx3, inb & mask)
+    corner = grid.origin + idx3.astype(jnp.float32) * spec.resolution
+    local = xyz - corner
+    l = jnp.where((inb & mask)[:, None], local, 0.0)
+    outer = jnp.stack(
+        [l[:, 0] * l[:, 0], l[:, 0] * l[:, 1], l[:, 0] * l[:, 2],
+         l[:, 1] * l[:, 1], l[:, 1] * l[:, 2], l[:, 2] * l[:, 2]],
+        -1,
+    )
+    ones = jnp.where(inb & mask, 1.0, 0.0)
+    V = spec.num_voxels
+    n = jnp.concatenate([grid.n, jnp.zeros((1,), grid.n.dtype)]).at[flat].add(ones)[:V]
+    s1 = jnp.concatenate([grid.s1, jnp.zeros((1, 3), grid.s1.dtype)]).at[flat].add(l)[:V]
+    s2 = jnp.concatenate([grid.s2, jnp.zeros((1, 6), grid.s2.dtype)]).at[flat].add(outer)[:V]
+    return grid._replace(n=n, s1=s1, s2=s2)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",), donate_argnames=("grid",))
+def finalize(grid: VoxelGrid, spec: GridSpec) -> VoxelGrid:
+    """Per-voxel mean / covariance / inflated inverse covariance
+    (reference `voxel_grid_covariance_omp_impl.hpp:329-364`). Voxels with
+    fewer than `min_points` points are invalid (`:204`)."""
+    n = grid.n
+    valid = n >= spec.min_points
+    denom = jnp.maximum(n, 1.0)
+    mean = grid.s1 / denom[:, None]  # voxel-local mean
+    m = mean
+    mouter = jnp.stack(
+        [m[:, 0] * m[:, 0], m[:, 0] * m[:, 1], m[:, 0] * m[:, 2],
+         m[:, 1] * m[:, 1], m[:, 1] * m[:, 2], m[:, 2] * m[:, 2]],
+        -1,
+    )
+    # Bessel-style correction as in the reference (:329-330)
+    bessel = jnp.maximum(n - 1.0, 1.0)
+    cov6 = (grid.s2 - n[:, None] * mouter) / bessel[:, None]
+    cov = linalg.sym6_to_mat(cov6)
+    icov = linalg.inflate_and_invert_cov(cov, spec.eig_inflation)
+    icov6 = linalg.mat_to_sym6(icov)
+    icov6 = jnp.where(valid[:, None], icov6, 0.0)
+    mean = jnp.where(valid[:, None], mean, 0.0)
+    return grid._replace(mean=mean, icov=icov6, valid=valid)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",), donate_argnames=("grid",))
+def recentre(grid: VoxelGrid, new_centre: jnp.ndarray, spec: GridSpec) -> VoxelGrid:
+    """Roll the grid so `new_centre` sits at the grid centre.
+
+    Voxel-corner-relative statistics make this a pure index shift: content that
+    stays in-bounds is preserved exactly; voxels shifted out are dropped, newly
+    exposed voxels start empty."""
+    new_origin = centered_origin(spec, new_centre)
+    shift = jnp.round((new_origin - grid.origin) / spec.resolution).astype(jnp.int32)
+
+    def roll3(a):
+        extra = a.shape[1:]
+        g = a.reshape(spec.gx, spec.gy, spec.gz, *extra)
+        g = jnp.roll(g, (-shift[0], -shift[1], -shift[2]), axis=(0, 1, 2))
+        # zero the wrapped bands
+        ix = jnp.arange(spec.gx)
+        iy = jnp.arange(spec.gy)
+        iz = jnp.arange(spec.gz)
+        okx = (ix + shift[0] >= 0) & (ix + shift[0] < spec.gx)
+        oky = (iy + shift[1] >= 0) & (iy + shift[1] < spec.gy)
+        okz = (iz + shift[2] >= 0) & (iz + shift[2] < spec.gz)
+        ok = okx[:, None, None] & oky[None, :, None] & okz[None, None, :]
+        ok = ok.reshape(spec.gx, spec.gy, spec.gz, *([1] * len(extra)))
+        g = jnp.where(ok, g, 0)
+        return g.reshape(a.shape)
+
+    return VoxelGrid(
+        origin=new_origin,
+        n=roll3(grid.n),
+        s1=roll3(grid.s1),
+        s2=roll3(grid.s2),
+        mean=roll3(grid.mean),
+        icov=roll3(grid.icov),
+        valid=roll3(grid.valid),
+    )
+
+
+# DIRECT7 face-neighbor offsets (reference getNeighborhoodAtPoint7,
+# voxel_grid_covariance_omp_impl.hpp:419-432): centre + ±x ±y ±z.
+_OFFSETS7 = jnp.array(
+    [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+    jnp.int32,
+)
+
+
+def lookup7(grid: VoxelGrid, spec: GridSpec, xyz: jnp.ndarray):
+    """For each query point gather its DIRECT7 neighborhood.
+
+    Returns (mean_world [N,7,3], icov6 [N,7,6], valid [N,7])."""
+    idx3, _ = _voxel_index3(spec, grid.origin, xyz)
+    nidx3 = idx3[:, None, :] + _OFFSETS7[None, :, :]
+    inb = (
+        (nidx3[..., 0] >= 0) & (nidx3[..., 0] < spec.gx)
+        & (nidx3[..., 1] >= 0) & (nidx3[..., 1] < spec.gy)
+        & (nidx3[..., 2] >= 0) & (nidx3[..., 2] < spec.gz)
+    )
+    # clamp instead of sentinel-row concat: this path runs ~dozens of times per
+    # alignment inside autodiff, so avoid materializing a copy of the grid.
+    flat = (nidx3[..., 0] * spec.gy + nidx3[..., 1]) * spec.gz + nidx3[..., 2]
+    flat = jnp.clip(flat, 0, spec.num_voxels - 1)
+    mean_l = grid.mean[flat]
+    icov = grid.icov[flat]
+    valid = grid.valid[flat] & inb
+    corner = grid.origin + nidx3.astype(jnp.float32) * spec.resolution
+    mean_w = corner + mean_l
+    return mean_w, icov, valid
+
+
+def occupied_count(grid: VoxelGrid) -> jnp.ndarray:
+    return jnp.sum(grid.valid)
+
+
+def grid_points(grid: VoxelGrid, spec: GridSpec):
+    """All valid voxel means as a (means [V,3], mask [V]) pair — the map as a
+    downsampled point cloud (used for visualization / map export)."""
+    idx = jnp.arange(spec.num_voxels)
+    iz = idx % spec.gz
+    iy = (idx // spec.gz) % spec.gy
+    ix = idx // (spec.gy * spec.gz)
+    corner = grid.origin + jnp.stack([ix, iy, iz], -1).astype(jnp.float32) * spec.resolution
+    return corner + grid.mean, grid.valid
