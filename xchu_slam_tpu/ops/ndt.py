@@ -173,8 +173,11 @@ def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
         # Eigenvalue-shifted Newton (the reference's JacobiSVD solve, :119-121,
         # does not guard indefiniteness; shifting to PD guarantees a descent
         # direction far from the optimum and reduces to pure Newton near it).
+        # NDT Hessians are naturally ill-conditioned (radians vs metres at
+        # long range): the shift must clear negative curvature without
+        # swamping the small translation eigenvalues.
         lam = jnp.linalg.eigvalsh(H)
-        shift = jnp.maximum(0.0, -lam[0]) + 1e-3 * (jnp.abs(lam[-1]) + 1.0)
+        shift = jnp.maximum(0.0, -lam[0]) + 1e-6 * (jnp.abs(lam[-1]) + 1.0)
         Hr = H + shift * jnp.eye(6, dtype=H.dtype)
         dp = -jnp.linalg.solve(Hr, g)
         # belt-and-braces: fall back to steepest descent if numerics betray us

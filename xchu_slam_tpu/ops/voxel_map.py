@@ -168,7 +168,7 @@ def recentre(grid: VoxelGrid, new_centre: jnp.ndarray, spec: GridSpec) -> VoxelG
         okz = (iz + shift[2] >= 0) & (iz + shift[2] < spec.gz)
         ok = okx[:, None, None] & oky[None, :, None] & okz[None, None, :]
         ok = ok.reshape(spec.gx, spec.gy, spec.gz, *([1] * len(extra)))
-        g = jnp.where(ok, g, 0)
+        g = jnp.where(ok, g, jnp.zeros_like(g))
         return g.reshape(a.shape)
 
     return VoxelGrid(
