@@ -1,0 +1,95 @@
+"""Benchmark: NDT odometry throughput (scans/s/chip) on synthetic KITTI-like
+scans, plus end-to-end trajectory accuracy.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference requires 1× KITTI bag replay = 10 scans/s on a desktop
+CPU (reference README.md:47-51; BASELINE.md). vs_baseline = value / 10.
+
+Runs on whatever jax.devices() provides (the real TPU chip under axon; CPU
+otherwise). Scan rendering is host-side and excluded from timing; the timed
+region is the real per-scan work: filter → NDT align → localmap update.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from xchu_slam_tpu.config import FilterConfig, NdtConfig
+    from xchu_slam_tpu.models import odometry
+    from xchu_slam_tpu.ops import ndt, voxel_map as vm
+    from xchu_slam_tpu.ops.filter import filter_scan
+    from xchu_slam_tpu.types import make_cloud
+    from xchu_slam_tpu.utils import metrics, sim
+
+    fcfg = FilterConfig(max_raw_points=131072, max_points=16384,
+                        outlier_method="radius")
+    ospec = odometry.OdomSpec(
+        gspec=vm.GridSpec(gx=80, gy=80, gz=24, resolution=2.0, min_points=6,
+                          eig_inflation=0.01),
+        nspec=ndt.NdtSpec(max_iterations=30),
+        min_add_scan_shift=0.5,
+        max_localmap_size=5.0,
+        recentre_margin=20.0,
+    )
+
+    n_scans = 60
+    world = sim.make_world(7, extent=120.0, ground_pts=150_000)
+    gt = sim.loop_trajectory(n_scans=400, radius=60.0, speed=1.0)[:n_scans]
+    rng = np.random.default_rng(7)
+    scans = [sim.render_scan(world, p, rng, n_points=24_000) for p in gt]
+
+    # warmup: compile all per-scan programs
+    xyz0, int0 = scans[0]
+    filt = filter_scan(make_cloud(xyz0, int0, capacity=fcfg.max_raw_points), fcfg)
+    state = odometry.init_state(ospec, jnp.zeros(6), filt.xyz, filt.mask)
+    xyz1, int1 = scans[1]
+    filt1 = filter_scan(make_cloud(xyz1, int1, capacity=fcfg.max_raw_points), fcfg)
+    state, out = odometry.step(state, filt1.xyz, filt1.mask, ospec)
+    out.pose.block_until_ready()
+
+    # timed run (fresh state, all scans)
+    # express gt in the start frame for accuracy bookkeeping
+    filt = filter_scan(make_cloud(xyz0, int0, capacity=fcfg.max_raw_points), fcfg)
+    state = odometry.init_state(ospec, jnp.zeros(6), filt.xyz, filt.mask)
+    from xchu_slam_tpu.utils import se3
+    gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
+    gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)[:, :3, 3]
+
+    t0 = time.perf_counter()
+    poses = [np.zeros(6, np.float32)]
+    for xyz, inten in scans[1:]:
+        filt = filter_scan(make_cloud(xyz, inten, capacity=fcfg.max_raw_points), fcfg)
+        state, out = odometry.step(state, filt.xyz, filt.mask, ospec)
+        poses.append(out.pose)
+    poses[-1].block_until_ready()
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = (n_scans - 1) / dt
+    est = np.array([np.asarray(p) for p in poses])
+    ate = metrics.ape_rmse(est[:, :3], gt_rel[:len(est)], align=False)
+
+    print(json.dumps({
+        "metric": "ndt_odometry_scans_per_sec",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s/chip",
+        "vs_baseline": round(scans_per_sec / 10.0, 2),
+        "extra": {
+            "odometry_ate_m": round(float(ate), 4),
+            "n_scans": n_scans,
+            "backend": jax.devices()[0].platform,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

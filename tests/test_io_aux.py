@@ -1,0 +1,133 @@
+"""Export, checkpoint/resume, CLI, and profiling subsystem tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from xchu_slam_tpu.io import export, kitti
+from xchu_slam_tpu.utils import profiling
+
+
+def test_pcd_roundtrip(tmp_path, rng):
+    pts = rng.normal(0, 10, (500, 3)).astype(np.float32)
+    p = str(tmp_path / "a.pcd")
+    export.write_pcd(p, pts, binary=True)
+    back = export.read_pcd(p)
+    np.testing.assert_allclose(back, pts, atol=1e-5)
+    p2 = str(tmp_path / "b.pcd")
+    export.write_pcd(p2, pts, binary=False)
+    np.testing.assert_allclose(export.read_pcd(p2), pts, atol=1e-4)
+
+
+def test_g2o_has_edges(tmp_path, rng):
+    n = 10
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, 0, 3] = np.arange(n)
+    between = np.tile(np.eye(4), (n, 1, 1))
+    between[:, 0, 3] = 1.0
+    Z = np.eye(4)
+    p = str(tmp_path / "g.g2o")
+    export.write_g2o(p, poses, between, [(0, 9, Z, 5.0)])
+    text = open(p).read()
+    assert text.count("VERTEX_SE3:QUAT") == n
+    # n-1 odometry edges + 1 loop edge — unlike the reference's empty export
+    assert text.count("EDGE_SE3:QUAT") == n
+
+
+def test_velodyne_bin_roundtrip(tmp_path, rng):
+    pts = rng.normal(0, 10, (100, 4)).astype(np.float32)
+    p = str(tmp_path / "000000.bin")
+    pts.tofile(p)
+    back = kitti.read_velodyne_bin(p)
+    np.testing.assert_allclose(back, pts)
+
+
+def test_kitti_pose_io(tmp_path, rng):
+    poses = np.tile(np.eye(4), (5, 1, 1))
+    poses[:, :3, 3] = rng.normal(0, 10, (5, 3))
+    p = str(tmp_path / "p.txt")
+    with open(p, "w") as f:
+        for T in poses:
+            f.write(" ".join(f"{v:.9f}" for v in T[:3].reshape(-1)) + "\n")
+    back = kitti.read_kitti_poses(p)
+    np.testing.assert_allclose(back, poses, atol=1e-6)
+
+
+def test_stage_timers():
+    t = profiling.StageTimers()
+    with t.time("a"):
+        pass
+    with t.time("a"):
+        pass
+    assert t.count["a"] == 2
+    assert "a" in t.report()
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    """A minimal 12-scan pipeline run for export/checkpoint tests."""
+    from xchu_slam_tpu.config import FilterConfig, NdtConfig, PgoConfig, SlamConfig
+    from xchu_slam_tpu.models.pipeline import SlamPipeline
+    from xchu_slam_tpu.utils import sim
+
+    cfg = SlamConfig(
+        filter=FilterConfig(max_raw_points=8192, max_points=4096,
+                            outlier_method="none"),
+        ndt=NdtConfig(grid_x=48, grid_y=48, grid_z=16, max_iterations=20),
+        pgo=PgoConfig(max_keyframes=64, max_loops=8),
+    )
+    pipe = SlamPipeline(cfg, kf_points=2048)
+    world = sim.make_world(3, extent=70.0, ground_pts=40_000)
+    gt = sim.loop_trajectory(n_scans=12, radius=30.0, speed=1.0)
+    rng = np.random.default_rng(3)
+    for i, p in enumerate(gt):
+        xyz, inten = sim.render_scan(world, p, rng, n_points=6000)
+        pipe.process_scan(xyz, inten, stamp=0.1 * i)
+    return pipe
+
+
+def test_save_run_artifacts(tiny_pipe, tmp_path):
+    paths = export.save_run(tiny_pipe, str(tmp_path / "run"))
+    for name, p in paths.items():
+        assert os.path.exists(p), name
+    stamps, poses = kitti.read_tum(paths["odom_tum"])
+    assert len(stamps) == int(tiny_pipe.db.count)
+    g2o = open(paths["g2o"]).read()
+    assert g2o.count("EDGE_SE3:QUAT") >= int(tiny_pipe.db.count) - 1
+
+
+def test_checkpoint_resume(tiny_pipe, tmp_path):
+    from xchu_slam_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(tiny_pipe, p)
+    restored = load_checkpoint(p)
+    assert int(restored.db.count) == int(tiny_pipe.db.count)
+    np.testing.assert_allclose(np.asarray(restored.db.poses),
+                               np.asarray(tiny_pipe.db.poses))
+    assert restored.scan_count == tiny_pipe.scan_count
+    # restored pipeline must continue processing scans
+    from xchu_slam_tpu.utils import sim
+    world = sim.make_world(3, extent=70.0, ground_pts=40_000)
+    gt = sim.loop_trajectory(n_scans=14, radius=30.0, speed=1.0)
+    rng = np.random.default_rng(99)
+    xyz, inten = sim.render_scan(world, gt[12], rng, n_points=6000)
+    out = restored.process_scan(xyz, inten, stamp=1.2)
+    assert np.isfinite(out["pose"]).all()
+
+
+def test_cli_eval(tmp_path, rng, capsys):
+    from xchu_slam_tpu.cli import main
+
+    poses = np.tile(np.eye(4), (20, 1, 1))
+    poses[:, 0, 3] = np.arange(20.0)
+    est = poses.copy()
+    est[:, :3, 3] += rng.normal(0, 0.05, (20, 3))
+    kitti.write_tum(str(tmp_path / "gt.txt"), np.arange(20.0), poses)
+    kitti.write_tum(str(tmp_path / "est.txt"), np.arange(20.0), est)
+    main(["eval", "--est", str(tmp_path / "est.txt"),
+          "--gt", str(tmp_path / "gt.txt")])
+    out = json.loads(capsys.readouterr().out)
+    assert 0.0 < out["ape_rmse_m"] < 0.2

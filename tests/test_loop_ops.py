@@ -1,0 +1,141 @@
+import jax.numpy as jnp
+import numpy as np
+
+from xchu_slam_tpu.ops import icp, isc as isc_ops, scancontext as sc
+from xchu_slam_tpu.utils import se3, sim
+
+SCSPEC = sc.ScSpec()
+ISPEC = isc_ops.IscSpec()
+
+
+def scan_at(world, pose, rng, n=8000):
+    xyz, inten = sim.render_scan(world, np.asarray(pose, np.float32), rng, n_points=n)
+    return jnp.asarray(xyz), jnp.asarray(inten), jnp.ones(len(xyz), bool)
+
+
+def test_sc_descriptor_rotation_shifts_columns(rng):
+    world = sim.make_world(2, extent=90.0)
+    p0 = np.zeros(6, np.float32)
+    p_rot = np.array([0, 0, 0, 0, 0, 2 * np.pi * 6 / 60], np.float32)  # 6 sectors
+    xyz0, _, m0 = scan_at(world, p0, np.random.default_rng(0))
+    xyz1, _, m1 = scan_at(world, p_rot, np.random.default_rng(0))
+    d0 = sc.make_descriptor(xyz0, m0, SCSPEC)
+    d1 = sc.make_descriptor(xyz1, m1, SCSPEC)
+    # rotating the sensor by k sectors circularly shifts the descriptor
+    best_k, best_v = 0, 1e9
+    for k in range(60):
+        v = float(jnp.mean(jnp.abs(d0 - jnp.roll(d1, k, axis=1))))
+        if v < best_v:
+            best_k, best_v = k, v
+    assert best_k in (6, 54), best_k
+
+
+def test_sc_detect_loop_same_place(rng):
+    world = sim.make_world(2, extent=90.0)
+    K = 64
+    R, S = SCSPEC.num_ring, SCSPEC.num_sector
+    db = np.zeros((K, R, S), np.float32)
+    g = np.random.default_rng(1)
+    # fill DB with descriptors from distinct places
+    for i in range(40):
+        p = np.array([25.0 * np.cos(i), 25.0 * np.sin(i * 1.7), 0, 0, 0, i * 0.3],
+                     np.float32)
+        xyz, _, m = scan_at(world, p, g)
+        db[i] = np.asarray(sc.make_descriptor(xyz, m, SCSPEC))
+    # query = revisit of place stored at index 5, rotated by 90°
+    p5 = np.array([25.0 * np.cos(5), 25.0 * np.sin(5 * 1.7), 0, 0, 0, 5 * 0.3],
+                  np.float32)
+    p5_rot = p5.copy()
+    p5_rot[5] += np.pi / 2
+    xyz, _, m = scan_at(world, p5_rot, g)
+    q = sc.make_descriptor(xyz, m, SCSPEC)
+    res = sc.detect_loop(q, jnp.asarray(db), jnp.int32(40), SCSPEC)
+    assert bool(res.found)
+    assert int(res.idx) == 5
+    assert float(res.dist) < 0.2
+    # yaw estimate ≈ ±π/2 (convention fixed here)
+    assert abs(abs(float(res.yaw)) - np.pi / 2) < 0.2
+
+
+def test_sc_excludes_recent(rng):
+    world = sim.make_world(2, extent=90.0)
+    g = np.random.default_rng(1)
+    K, R, S = 64, SCSPEC.num_ring, SCSPEC.num_sector
+    db = np.zeros((K, R, S), np.float32)
+    p = np.array([10.0, 5.0, 0, 0, 0, 0.7], np.float32)
+    xyz, _, m = scan_at(world, p, g)
+    d = np.asarray(sc.make_descriptor(xyz, m, SCSPEC))
+    # the only matching entry is RECENT → must not fire
+    db[35] = d
+    res = sc.detect_loop(jnp.asarray(d), jnp.asarray(db), jnp.int32(40), SCSPEC)
+    assert not bool(res.found)
+
+
+def test_isc_detects_revisit(rng):
+    world = sim.make_world(2, extent=90.0)
+    g = np.random.default_rng(1)
+    K = 64
+    db = np.zeros((K, ISPEC.num_ring, ISPEC.num_sector), np.float32)
+    positions = np.zeros((K, 3), np.float32)
+    travel = np.zeros(K, np.float32)
+    # trajectory: away and back (revisit index 0 at index 30)
+    t = 0.0
+    prev = None
+    for i in range(31):
+        if i <= 15:
+            pos = np.array([2.0 * i, 0.0, 0.0], np.float32)
+        else:
+            pos = np.array([2.0 * (30 - i), 0.0, 0.0], np.float32)
+        pose = np.array([pos[0], pos[1], pos[2], 0, 0, 0], np.float32)
+        xyz, inten, m = scan_at(world, pose, g)
+        db[i] = np.asarray(isc_ops.make_descriptor(xyz, jnp.asarray(inten), m, ISPEC))
+        if prev is not None:
+            t += np.linalg.norm(pos - prev)
+        travel[i] = t
+        positions[i] = pos
+        prev = pos
+    res = isc_ops.detect_loop(jnp.asarray(db[30]), jnp.asarray(db), jnp.int32(31),
+                              jnp.asarray(positions), jnp.asarray(travel), ISPEC)
+    assert bool(res.found)
+    assert int(res.idx) in (0, 1)  # revisit of the start
+
+
+def test_isc_gating_blocks_neighbors(rng):
+    """Consecutive nearby frames must never be loop candidates."""
+    world = sim.make_world(2, extent=90.0)
+    g = np.random.default_rng(1)
+    K = 16
+    db = np.zeros((K, ISPEC.num_ring, ISPEC.num_sector), np.float32)
+    positions = np.zeros((K, 3), np.float32)
+    travel = np.zeros(K, np.float32)
+    for i in range(10):
+        pose = np.array([1.0 * i, 0, 0, 0, 0, 0], np.float32)
+        xyz, inten, m = scan_at(world, pose, g)
+        db[i] = np.asarray(isc_ops.make_descriptor(xyz, jnp.asarray(inten), m, ISPEC))
+        positions[i] = pose[:3]
+        travel[i] = float(i)
+    res = isc_ops.detect_loop(jnp.asarray(db[9]), jnp.asarray(db), jnp.int32(10),
+                              jnp.asarray(positions), jnp.asarray(travel), ISPEC)
+    assert not bool(res.found)
+
+
+def test_icp_recovers_transform(rng):
+    world = sim.make_world(2, extent=90.0)
+    g = np.random.default_rng(3)
+    xyz, _, m = scan_at(world, np.zeros(6, np.float32), g, n=4096)
+    true_pose = jnp.array([1.5, -0.8, 0.1, 0.02, -0.01, 0.15], jnp.float32)
+    T_true = se3.pose_to_matrix(true_pose)
+    tgt = se3.transform_points(T_true, xyz)
+    res = icp.align(xyz, m, tgt, m, jnp.eye(4), icp.IcpSpec(max_iterations=60))
+    T = np.asarray(res.T)
+    np.testing.assert_allclose(T, np.asarray(T_true), atol=0.05)
+    assert float(res.fitness) < 0.05
+
+
+def test_icp_fitness_high_for_bad_match(rng):
+    g = np.random.default_rng(4)
+    a = jnp.asarray(g.uniform(-20, 20, (2048, 3)).astype(np.float32))
+    b = jnp.asarray(g.uniform(-20, 20, (2048, 3)).astype(np.float32))
+    m = jnp.ones(2048, bool)
+    res = icp.align(a, m, b, m, jnp.eye(4), icp.IcpSpec(max_iterations=20))
+    assert float(res.fitness) > 0.3  # reference acceptance gate would reject

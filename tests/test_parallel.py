@@ -1,0 +1,95 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xchu_slam_tpu.models import pose_graph as pg
+from xchu_slam_tpu.ops import ndt, scancontext as sc, voxel_map as vm
+from xchu_slam_tpu.parallel import sharded
+from xchu_slam_tpu.utils import sim
+
+
+needs_devices = pytest.mark.skipif(len(jax.devices()) < 8,
+                                   reason="needs 8 virtual devices")
+
+GSPEC = vm.GridSpec(gx=48, gy=48, gz=16, resolution=2.0, min_points=6,
+                    eig_inflation=0.01)
+NSPEC = ndt.NdtSpec(max_iterations=25)
+
+
+@needs_devices
+def test_sharded_ndt_matches_single_device(rng):
+    from tests.test_ndt import make_world, build_grid
+    world = make_world(rng)
+    grid = build_grid(world)
+    n = 2048
+    src = jnp.asarray(world[rng.choice(len(world), n, replace=False)])
+    mask = jnp.ones(n, bool)
+    init = jnp.array([0.3, -0.2, 0.0, 0.0, 0.0, 0.02], jnp.float32)
+
+    ref = ndt.align(grid, src, mask, init, GSPEC, NSPEC)
+    mesh = sharded.make_mesh(8)
+    pose, iters, conv = sharded.sharded_ndt_align(
+        mesh, grid, src, mask, init, GSPEC, NSPEC)
+    # different reduction orders → different FP paths; both must recover the
+    # true pose (identity) to the usual per-axis tolerances
+    for p_ in (np.asarray(pose), np.asarray(ref.pose)):
+        np.testing.assert_allclose(p_[[0, 1]], 0.0, atol=0.05)
+        np.testing.assert_allclose(p_[2], 0.0, atol=0.12)
+        np.testing.assert_allclose(p_[3:], 0.0, atol=0.02)
+
+
+@needs_devices
+def test_sharded_sc_matches_single_device(rng):
+    spec = sc.ScSpec()
+    world = sim.make_world(2, extent=90.0)
+    g = np.random.default_rng(1)
+    K = 64
+    db = np.zeros((K, spec.num_ring, spec.num_sector), np.float32)
+    for i in range(40):
+        p = np.array([25 * np.cos(i), 25 * np.sin(1.7 * i), 0, 0, 0, 0.3 * i],
+                     np.float32)
+        xyz, _ = sim.render_scan(world, p, g, n_points=6000)
+        db[i] = np.asarray(sc.make_descriptor(
+            jnp.asarray(xyz), jnp.ones(len(xyz), bool), spec))
+    p5 = np.array([25 * np.cos(5), 25 * np.sin(8.5), 0, 0, 0, 1.5 + np.pi / 2],
+                  np.float32)
+    xyz, _ = sim.render_scan(world, p5, g, n_points=6000)
+    q = sc.make_descriptor(jnp.asarray(xyz), jnp.ones(len(xyz), bool), spec)
+
+    ref = sc.detect_loop(q, jnp.asarray(db), jnp.int32(40), spec)
+    mesh = sharded.make_mesh(8)
+    got = sharded.sharded_sc_detect(mesh, q, jnp.asarray(db), 40, spec)
+    assert bool(got.found) == bool(ref.found)
+    assert int(got.idx) == int(ref.idx)
+    np.testing.assert_allclose(float(got.dist), float(ref.dist), atol=1e-5)
+
+
+@needs_devices
+def test_sharded_pgo_grad_matches(rng):
+    from tests.test_pose_graph import chain_graph, SPEC
+    gt, poses, g, n = chain_graph(rng, 40)
+    mesh = sharded.make_mesh(8)
+    got = sharded.sharded_pgo_hvp_demo(mesh, jnp.asarray(poses), g, SPEC)
+
+    # single-device oracle of the same objective
+    from xchu_slam_tpu.utils import se3
+    T = se3.pose_to_matrix(jnp.asarray(poses))
+
+    def obj(xi):
+        K = poses.shape[0]
+        mask0 = jnp.ones((K, 1), xi.dtype).at[0, 0].set(0.0)
+        Tn = jnp.matmul(T, se3.se3_exp(xi * mask0))
+        r = jax.vmap(pg._between_residual)(Tn[:-1], Tn[1:], g.between_T[1:])
+        w = jnp.where((g.kf_mask[:-1] & g.kf_mask[1:])[:, None],
+                      jnp.array([SPEC.odom_info_t] * 3 + [SPEC.odom_info_r] * 3),
+                      0.0)
+        return 0.5 * jnp.sum(w * r * r)
+
+    ref = jax.grad(obj)(jnp.zeros((poses.shape[0], 6), jnp.float32))
+    # info weights of 1e6 amplify f32 reduction-order noise into ~0.1-scale
+    # absolute differences on ~1e4-scale intermediates; that is expected
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=0.5)

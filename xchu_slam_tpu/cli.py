@@ -1,0 +1,212 @@
+"""Command-line interface.
+
+Replaces the reference's roslaunch entry point (`launch/xchu_mapping.launch`)
+with subcommands:
+
+  python -m xchu_slam_tpu.cli run-sim   --scans 400 --out out/sim
+  python -m xchu_slam_tpu.cli run-kitti --velodyne-dir .../velodyne \\
+                                        --gt 00.txt --out out/kitti00
+  python -m xchu_slam_tpu.cli eval      --est odom_tum.txt --gt gt.txt
+  python -m xchu_slam_tpu.cli info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _add_config_overrides(parser):
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="key=value",
+                        help="config override, e.g. --set ndt.resolution=1.0")
+
+
+def _apply_overrides(cfg, pairs):
+    overrides = {}
+    for kv in pairs:
+        key, val = kv.split("=", 1)
+        try:
+            val = json.loads(val)
+        except json.JSONDecodeError:
+            pass
+        overrides[key] = val
+    return cfg.override(overrides) if overrides else cfg
+
+
+def cmd_run_sim(args):
+    from xchu_slam_tpu.config import default_config
+    from xchu_slam_tpu.io.export import save_run
+    from xchu_slam_tpu.models.pipeline import SlamPipeline
+    from xchu_slam_tpu.utils import metrics, se3, sim
+    from xchu_slam_tpu.utils.profiling import StageTimers
+    import jax.numpy as jnp
+
+    cfg = default_config().override({
+        "filter.max_points": 8192,
+        "loop.method": args.loop_method,
+        "pgo.odom_noise_trans": 1e-3,
+        "pgo.odom_noise_rot": 1e-3,
+        "loop.icp_fitness_thresh": 0.7,
+    })
+    cfg = _apply_overrides(cfg, args.set)
+    pipe = SlamPipeline(cfg, kf_points=4096)
+    timers = StageTimers()
+
+    world = sim.make_world(args.seed, extent=args.radius * 2.5)
+    gt = sim.loop_trajectory(n_scans=args.scans, radius=args.radius, speed=1.0)
+    rng = np.random.default_rng(args.seed)
+    t0 = time.perf_counter()
+    for i, p in enumerate(gt):
+        with timers.time("render"):
+            xyz, inten = sim.render_scan(world, p, rng, n_points=24_000)
+        with timers.time("slam"):
+            out = pipe.process_scan(xyz, inten, stamp=0.1 * i)
+        if args.verbose and i % 25 == 0:
+            print(f"scan {i}: kf={int(pipe.db.count)} loops={pipe.loop_count}",
+                  file=sys.stderr)
+        if args.checkpoint_every and i and i % args.checkpoint_every == 0:
+            from xchu_slam_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(pipe, os.path.join(args.out, "checkpoint.npz"))
+    pipe.finalize()
+    wall = time.perf_counter() - t0
+
+    os.makedirs(args.out, exist_ok=True)
+    paths = save_run(pipe, args.out)
+
+    gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
+    gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)[:, :3, 3]
+    stamps, kf_odo, kf_opt = pipe.keyframe_trajectory()
+    idx = np.round(stamps / 0.1).astype(int)
+    ate = metrics.ape_rmse(kf_opt[:, :3], gt_rel[idx], align=False)
+    summary = {
+        "scans": args.scans,
+        "keyframes": int(pipe.db.count),
+        "loops": pipe.loop_count,
+        "ate_rmse_m": round(float(ate), 4),
+        "scans_per_sec": round(args.scans / wall, 2),
+        "artifacts": paths,
+    }
+    print(json.dumps(summary, indent=2))
+    print(timers.report(), file=sys.stderr)
+
+
+def cmd_run_kitti(args):
+    from xchu_slam_tpu.config import default_config
+    from xchu_slam_tpu.io import kitti
+    from xchu_slam_tpu.io.export import save_run
+    from xchu_slam_tpu.models.pipeline import SlamPipeline
+    from xchu_slam_tpu.utils import metrics
+
+    cfg = _apply_overrides(default_config(), args.set)
+    pipe = SlamPipeline(cfg, kf_points=4096)
+    files = kitti.list_velodyne_dir(args.velodyne_dir)
+    if args.max_scans:
+        files = files[:args.max_scans]
+    t0 = time.perf_counter()
+    for i, f in enumerate(files):
+        pts = kitti.read_velodyne_bin(f)
+        pipe.process_scan(pts[:, :3], pts[:, 3], stamp=0.1 * i)
+        if args.verbose and i % 100 == 0:
+            print(f"scan {i}/{len(files)}: kf={int(pipe.db.count)} "
+                  f"loops={pipe.loop_count}", file=sys.stderr)
+    pipe.finalize()
+    wall = time.perf_counter() - t0
+    os.makedirs(args.out, exist_ok=True)
+    paths = save_run(pipe, args.out, to_camera_frame=True)
+    summary = {
+        "scans": len(files),
+        "keyframes": int(pipe.db.count),
+        "loops": pipe.loop_count,
+        "scans_per_sec": round(len(files) / wall, 2),
+        "artifacts": paths,
+    }
+    if args.gt:
+        gt_poses = kitti.read_kitti_poses(args.gt)
+        _st, poses = kitti.read_tum(paths["odom_tum"])
+        n = min(len(gt_poses), len(poses))
+        summary["ate_rmse_m"] = round(metrics.ape_rmse(
+            poses[:n, :3, 3], gt_poses[:n, :3, 3]), 4)
+    print(json.dumps(summary, indent=2))
+
+
+def cmd_eval(args):
+    from xchu_slam_tpu.io import kitti
+    from xchu_slam_tpu.utils import metrics
+
+    _s1, est = kitti.read_tum(args.est)
+    if args.gt.endswith(".txt") and args.gt_format == "kitti":
+        gt = kitti.read_kitti_poses(args.gt)
+    else:
+        _s2, gt = kitti.read_tum(args.gt)
+    n = min(len(est), len(gt))
+    out = {
+        "ape_rmse_m": round(metrics.ape_rmse(est[:n, :3, 3], gt[:n, :3, 3]), 4),
+        "rpe_rmse_m": round(metrics.rpe_rmse(est[:n], gt[:n]), 4),
+    }
+    drift, length = metrics.end_drift(est[:n, :3, 3], gt[:n, :3, 3])
+    out["end_drift_m"] = round(drift, 3)
+    out["length_m"] = round(length, 1)
+    out["drift_pct"] = round(100.0 * drift / max(length, 1e-9), 3)
+    print(json.dumps(out, indent=2))
+
+
+def cmd_info(args):
+    import jax
+
+    from xchu_slam_tpu import __version__
+    from xchu_slam_tpu.config import default_config
+
+    print(json.dumps({
+        "version": __version__,
+        "jax": jax.__version__,
+        "devices": [str(d) for d in jax.devices()],
+        "default_config": json.loads(default_config().to_json()),
+    }, indent=2))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="xchu_slam_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("run-sim", help="run SLAM on a synthetic circuit")
+    ps.add_argument("--scans", type=int, default=400)
+    ps.add_argument("--radius", type=float, default=55.0)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--loop-method", default="sc",
+                    choices=["sc", "isc", "radius", "none"])
+    ps.add_argument("--out", default="out/sim")
+    ps.add_argument("--checkpoint-every", type=int, default=0)
+    ps.add_argument("--verbose", action="store_true")
+    _add_config_overrides(ps)
+    ps.set_defaults(fn=cmd_run_sim)
+
+    pk = sub.add_parser("run-kitti", help="run SLAM on KITTI velodyne scans")
+    pk.add_argument("--velodyne-dir", required=True)
+    pk.add_argument("--gt")
+    pk.add_argument("--out", default="out/kitti")
+    pk.add_argument("--max-scans", type=int, default=0)
+    pk.add_argument("--verbose", action="store_true")
+    _add_config_overrides(pk)
+    pk.set_defaults(fn=cmd_run_kitti)
+
+    pe = sub.add_parser("eval", help="APE/RPE between trajectories")
+    pe.add_argument("--est", required=True)
+    pe.add_argument("--gt", required=True)
+    pe.add_argument("--gt-format", default="tum", choices=["tum", "kitti"])
+    pe.set_defaults(fn=cmd_eval)
+
+    pi = sub.add_parser("info", help="version / devices / config")
+    pi.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

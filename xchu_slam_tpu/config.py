@@ -30,6 +30,8 @@ class FilterConfig:
     radius_outlier_min_neighbors: int = 5
     stat_outlier_k: int = 30             # (filter_node.cpp:255-262)
     stat_outlier_stddev: float = 1.0
+    detect_ground: bool = False     # emit plane coeffs per scan (FloorCoeffs
+    # analogue — the reference publishes them but nothing consumes them)
     # static shapes
     max_raw_points: int = 131072    # HDL-64 scan upper bound
     max_points: int = 16384         # post-filter cloud capacity

@@ -1,0 +1,134 @@
+"""Run artifact export: PCD maps, TUM trajectories, g2o pose graphs.
+
+SaveMap analogue (reference `pgo_node.cpp:620-742`): writes `finalMap.pcd`,
+`trajectory.pcd`, `odom_tum.txt` (optimized, velodyne→camera extrinsic),
+`lidar_odom.txt` (raw odometry), and `pose_graph.g2o`. Unlike the reference —
+which serializes its factor graph after `resize(0)` and therefore writes zero
+EDGE lines (SURVEY.md §2e) — the g2o export here contains the full edge set.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from xchu_slam_tpu.io import kitti
+
+
+def write_pcd(path: str, xyz: np.ndarray, binary: bool = True) -> None:
+    xyz = np.asarray(xyz, np.float32)
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+        f"WIDTH {len(xyz)}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+        f"POINTS {len(xyz)}\nDATA {'binary' if binary else 'ascii'}\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        if binary:
+            f.write(xyz.tobytes())
+        else:
+            for p in xyz:
+                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n".encode())
+
+
+def read_pcd(path: str) -> np.ndarray:
+    """Minimal PCD reader (x y z float32, ascii or binary)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    head_end = data.index(b"DATA")
+    header = data[:head_end].decode()
+    fields = {}
+    for line in header.splitlines():
+        parts = line.split()
+        if parts:
+            fields[parts[0]] = parts[1:]
+    n = int(fields["POINTS"][0])
+    n_fields = len(fields["FIELDS"])
+    mode_line = data[head_end:data.index(b"\n", head_end)].decode()
+    body = data[data.index(b"\n", head_end) + 1:]
+    if "binary" in mode_line:
+        arr = np.frombuffer(body, np.float32, count=n * n_fields).reshape(n, n_fields)
+    else:
+        arr = np.loadtxt(body.decode().splitlines()).reshape(n, n_fields)
+    return arr[:, :3].astype(np.float32)
+
+
+def write_g2o(path: str, poses: np.ndarray, between_T: np.ndarray,
+              loops: list[tuple[int, int, np.ndarray, float]],
+              odom_info: tuple[float, float] = (1e6, 1e4)) -> None:
+    """VERTEX_SE3:QUAT + EDGE_SE3:QUAT (with information matrices).
+
+    poses: [N, 4, 4]; between_T: [N, 4, 4] (entry k = Z_{k-1,k});
+    loops: list of (i, j, Z_ij [4,4], info_scalar)."""
+    it, ir = odom_info
+
+    def info_upper(diag6):
+        M = np.diag(diag6)
+        vals = []
+        for r in range(6):
+            for c in range(r, 6):
+                vals.append(M[r, c])
+        return " ".join(f"{v:.6g}" for v in vals)
+
+    with open(path, "w") as f:
+        for i, T in enumerate(poses):
+            q = kitti.matrix_to_quat(T[:3, :3])
+            t = T[:3, 3]
+            f.write(f"VERTEX_SE3:QUAT {i} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                    f"{q[0]:.8f} {q[1]:.8f} {q[2]:.8f} {q[3]:.8f}\n")
+        odo_info_str = info_upper([it] * 3 + [ir] * 3)
+        for k in range(1, len(poses)):
+            Z = between_T[k]
+            q = kitti.matrix_to_quat(Z[:3, :3])
+            t = Z[:3, 3]
+            f.write(f"EDGE_SE3:QUAT {k - 1} {k} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                    f"{q[0]:.8f} {q[1]:.8f} {q[2]:.8f} {q[3]:.8f} {odo_info_str}\n")
+        for (i, j, Z, info) in loops:
+            q = kitti.matrix_to_quat(Z[:3, :3])
+            t = Z[:3, 3]
+            li = info_upper([info] * 6)
+            f.write(f"EDGE_SE3:QUAT {i} {j} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                    f"{q[0]:.8f} {q[1]:.8f} {q[2]:.8f} {q[3]:.8f} {li}\n")
+
+
+def save_run(pipe, out_dir: str, to_camera_frame: bool = False) -> dict:
+    """Export all run artifacts from a SlamPipeline. Returns file paths."""
+    import jax.numpy as jnp
+
+    from xchu_slam_tpu.utils import se3
+
+    os.makedirs(out_dir, exist_ok=True)
+    stamps, kf_odo, kf_opt = pipe.keyframe_trajectory()
+    T_opt = np.asarray(se3.pose_to_matrix(jnp.asarray(kf_opt)))
+    T_odo = np.asarray(se3.pose_to_matrix(jnp.asarray(kf_odo)))
+    if to_camera_frame:
+        T_opt_out = kitti.velo_to_cam(T_opt)
+        T_odo_out = kitti.velo_to_cam(T_odo)
+    else:
+        T_opt_out, T_odo_out = T_opt, T_odo
+
+    paths = {}
+    paths["odom_tum"] = os.path.join(out_dir, "odom_tum.txt")
+    kitti.write_tum(paths["odom_tum"], stamps, T_opt_out)
+    paths["lidar_odom"] = os.path.join(out_dir, "lidar_odom.txt")
+    kitti.write_tum(paths["lidar_odom"], stamps, T_odo_out)
+
+    paths["trajectory_pcd"] = os.path.join(out_dir, "trajectory.pcd")
+    write_pcd(paths["trajectory_pcd"], T_opt[:, :3, 3])
+
+    paths["final_map_pcd"] = os.path.join(out_dir, "finalMap.pcd")
+    write_pcd(paths["final_map_pcd"], pipe.assemble_map(voxel=0.5))
+
+    n = int(pipe.db.count)
+    between = np.asarray(pipe.graph.between_T[:n])
+    loops = []
+    for q in range(pipe.loop_count):
+        loops.append((int(pipe.graph.loop_i[q]), int(pipe.graph.loop_j[q]),
+                      np.asarray(pipe.graph.loop_T[q]),
+                      float(pipe.graph.loop_info[q])))
+    paths["g2o"] = os.path.join(out_dir, "pose_graph.g2o")
+    write_g2o(paths["g2o"], T_opt, between, loops,
+              odom_info=(pipe.gspec.odom_info_t, pipe.gspec.odom_info_r))
+    return paths

@@ -1,0 +1,362 @@
+"""Full SLAM pipeline: filter → odometry → keyframes → loop closure → PGO.
+
+Host-orchestrated replacement for the reference's three ROS processes
+(`filter_node` → `odom_node` → `pgo_node`, SURVEY.md §1) and pgo's four
+threads (`Run`/`LoopClosure`/`ICPRefine`/`MapVisualization`,
+`pgo_node.cpp:12-14`). Every compute stage is a jit-compiled device program
+over fixed-shape state; the host loop only moves scalars and orchestrates —
+there are no topic queues and no mutexes, state flows functionally.
+
+Key behavioral parity points:
+- keyframe gating every `keyframe_gap` m of odometric travel
+  (`pgo_node.cpp:188-205`)
+- descriptors on the filtered cloud (`pgo_node.cpp:234-247`)
+- loop methods: radius search / Scan Context / ISC (`pgo_node.cpp:299-388`)
+- ICP verification of ±`submap_half_width` keyframe submaps at the current
+  *optimized* poses, accept fitness ≤ thresh (`pgo_node.cpp:404-483`)
+- pose-graph solve rewrites all keyframe poses (`ISAM2Update`,
+  `pgo_node.cpp:498-528`); between solves, new keyframes chain onto the last
+  optimized pose exactly as iSAM2 would with odometry-only factors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xchu_slam_tpu.config import SlamConfig
+from xchu_slam_tpu.models import odometry, pose_graph as pg
+from xchu_slam_tpu.ops import icp, isc as isc_ops, ndt, scancontext as sc, voxel_map as vm
+from xchu_slam_tpu.ops.filter import filter_scan
+from xchu_slam_tpu.types import Cloud, make_cloud
+from xchu_slam_tpu.utils import se3
+
+
+class KfDb(NamedTuple):
+    """Fixed-capacity keyframe database (device arrays)."""
+
+    poses: jnp.ndarray       # [K,6] odometry poses
+    opt_poses: jnp.ndarray   # [K,6] optimized poses (rewritten on PGO solve)
+    stamps: jnp.ndarray      # [K]
+    travel: jnp.ndarray      # [K] cumulative odometric travel
+    clouds: jnp.ndarray      # [K,P,3] body-frame keyframe clouds
+    cloud_mask: jnp.ndarray  # [K,P]
+    sc_db: jnp.ndarray       # [K,R,S]
+    isc_db: jnp.ndarray      # [K,Ri,Si]
+    count: jnp.ndarray       # int32
+
+
+def empty_db(cfg: SlamConfig, kf_points: int) -> KfDb:
+    K = cfg.pgo.max_keyframes
+    return KfDb(
+        poses=jnp.zeros((K, 6), jnp.float32),
+        opt_poses=jnp.zeros((K, 6), jnp.float32),
+        stamps=jnp.zeros((K,), jnp.float32),
+        travel=jnp.zeros((K,), jnp.float32),
+        clouds=jnp.zeros((K, kf_points, 3), jnp.float32),
+        cloud_mask=jnp.zeros((K, kf_points), bool),
+        sc_db=jnp.zeros((K, cfg.sc.num_ring, cfg.sc.num_sector), jnp.float32),
+        isc_db=jnp.zeros((K, cfg.isc.num_ring, cfg.isc.num_sector), jnp.float32),
+        count=jnp.int32(0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def subsample_cloud(xyz, mask, n_out: int):
+    """Spatially unbiased fixed-size subsample: compact valid points then take
+    an even stride. Returns (xyz [n_out,3], mask [n_out], src_idx [n_out])."""
+    order = jnp.argsort(~mask, stable=True)
+    xyz_c = xyz[order]
+    mask_c = mask[order]
+    n_valid = jnp.sum(mask)
+    idx = (jnp.arange(n_out) * jnp.maximum(n_valid, 1)) // n_out
+    idx = jnp.clip(idx, 0, xyz.shape[0] - 1)
+    take_mask = jnp.arange(n_out) < jnp.minimum(n_valid, n_out)
+    src_idx = order[idx]
+    return (jnp.where(take_mask[:, None], xyz_c[idx], 0.0),
+            mask_c[idx] & take_mask, src_idx)
+
+
+@jax.jit
+def _add_keyframe(db: KfDb, pose6, stamp, travel, cloud_xyz, cloud_mask,
+                  sc_desc, isc_desc, opt_pose6):
+    k = db.count
+    return db._replace(
+        poses=db.poses.at[k].set(pose6),
+        opt_poses=db.opt_poses.at[k].set(opt_pose6),
+        stamps=db.stamps.at[k].set(stamp),
+        travel=db.travel.at[k].set(travel),
+        clouds=db.clouds.at[k].set(cloud_xyz),
+        cloud_mask=db.cloud_mask.at[k].set(cloud_mask),
+        sc_db=db.sc_db.at[k].set(sc_desc),
+        isc_db=db.isc_db.at[k].set(isc_desc),
+        count=k + 1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("half_width", "out_n"))
+def build_submap(db: KfDb, centre_idx, frame_idx, half_width: int, out_n: int):
+    """±half_width keyframe clouds at optimized poses, expressed in
+    keyframe `frame_idx`'s frame (LoopFindNearKeyframesCloud analogue)."""
+    K = db.poses.shape[0]
+    ks = centre_idx + jnp.arange(-half_width, half_width + 1)
+    ok = (ks >= 0) & (ks < db.count)
+    ksc = jnp.clip(ks, 0, K - 1)
+    T_w = se3.pose_to_matrix(db.opt_poses[ksc])            # [W,4,4]
+    T_i_inv = se3.inverse(se3.pose_to_matrix(db.opt_poses[frame_idx]))
+    T_rel = jnp.einsum("ab,wbc->wac", T_i_inv, T_w)
+    pts = se3.transform_points(T_rel, db.clouds[ksc])       # [W,P,3]
+    mask = db.cloud_mask[ksc] & ok[:, None]
+    flat_pts = pts.reshape(-1, 3)
+    flat_mask = mask.reshape(-1)
+    return subsample_cloud(flat_pts, flat_mask, out_n)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _radius_candidate(db: KfDb, cur_idx, cur_stamp, radius, min_time):
+    """Loop method 0 (reference pgo_node.cpp:299-342): nearest keyframe within
+    `radius` metres (2-D) that is at least `min_time` seconds older."""
+    K = db.poses.shape[0]
+    pos = db.poses[cur_idx, :2]
+    d = jnp.linalg.norm(db.poses[:, :2] - pos[None], axis=-1)
+    eligible = (jnp.arange(K) < db.count) & (db.stamps < cur_stamp - min_time)
+    d = jnp.where(eligible, d, jnp.inf)
+    best = jnp.argmin(d)
+    found = d[best] < radius
+    return jnp.where(found, best, -1).astype(jnp.int32), found
+
+
+class LoopRecord(NamedTuple):
+    i: int
+    j: int
+    fitness: float
+    method: str
+
+
+class SlamPipeline:
+    """End-to-end SLAM engine instance. Feed scans; read trajectories."""
+
+    def __init__(self, cfg: SlamConfig, kf_points: int = 4096):
+        self.cfg = cfg
+        self.ospec = odometry.spec_from_config(cfg)
+        self.scspec = sc.spec_from_config(cfg.sc)
+        self.iscspec = isc_ops.spec_from_config(cfg.isc)
+        self.icpspec = icp.spec_from_config(cfg.loop)
+        self.gspec = pg.spec_from_config(cfg.pgo)
+        self.kf_points = kf_points
+
+        self.db = empty_db(cfg, kf_points)
+        self.graph = pg.empty_graph(self.gspec)
+        self.odom_state = None
+        self.loop_count = 0
+        self.loops: list[LoopRecord] = []
+        self.scan_count = 0
+        self.kf_gate_accum = 0.0
+        self.travel = 0.0
+        self._last_odom_pose = None
+        self._last_kf_odom = None
+        self._dirty_graph = False
+        # diagnostics
+        self.odom_log: list[dict] = []
+
+    # ------------------------------------------------------------------ #
+    def process_scan(self, xyz: np.ndarray, intensity: np.ndarray | None,
+                     stamp: float, gps_alt: float | None = None) -> dict:
+        cfg = self.cfg
+        cloud = make_cloud(xyz, intensity, capacity=cfg.filter.max_raw_points)
+        filt = filter_scan(cloud, cfg.filter)
+        ground_res = None
+        if cfg.filter.detect_ground:
+            from xchu_slam_tpu.ops import ground as ground_ops
+            ground_res = ground_ops.detect_plane(
+                filt.xyz, filt.mask, ground_ops.spec_from_config(cfg.ground))
+
+        if self.odom_state is None:
+            init = jnp.zeros(6, jnp.float32)
+            self.odom_state = odometry.init_state(self.ospec, init, filt.xyz, filt.mask)
+            pose = np.zeros(6, np.float32)
+            self._last_odom_pose = pose
+            self._add_kf(pose, stamp, filt, opt_pose=pose, gps_alt=gps_alt)
+            self.scan_count += 1
+            return {"pose": pose, "keyframe": True, "loop": None,
+                    "ground": ground_res}
+
+        self.odom_state, out = odometry.step(self.odom_state, filt.xyz,
+                                             filt.mask, self.ospec)
+        pose = np.asarray(out.pose)
+        step_d = float(np.linalg.norm(pose[:2] - self._last_odom_pose[:2]))
+        self.travel += step_d
+        self.kf_gate_accum += step_d
+        self._last_odom_pose = pose
+        self.scan_count += 1
+        self.odom_log.append({
+            "stamp": stamp,
+            "pose": pose,
+            "iterations": int(out.iterations),
+            "matched_frac": float(out.matched_frac),
+            "fitness": float(out.fitness),
+        })
+
+        is_kf = self.kf_gate_accum >= cfg.pgo.keyframe_gap
+        loop_rec = None
+        if is_kf:
+            self.kf_gate_accum = 0.0
+            opt_pose = self._chain_opt_pose(pose)
+            self._add_kf(pose, stamp, filt, opt_pose=opt_pose, gps_alt=gps_alt)
+            k = int(self.db.count) - 1
+            if k >= 1 and k % cfg.loop.detect_period == 0:
+                loop_rec = self._detect_and_verify(k, stamp)
+            if loop_rec is not None:
+                self._solve_graph()
+        return {"pose": pose, "keyframe": is_kf, "loop": loop_rec,
+                "ground": ground_res}
+
+    # ------------------------------------------------------------------ #
+    def _chain_opt_pose(self, odom_pose: np.ndarray) -> np.ndarray:
+        """New keyframe's optimized pose = previous optimized ∘ odometric delta
+        (what iSAM2 yields for a chain extension)."""
+        if self._last_kf_odom is None:
+            return odom_pose
+        k = int(self.db.count) - 1
+        T_prev_opt = se3.pose_to_matrix(self.db.opt_poses[k])
+        Z = jnp.matmul(
+            se3.inverse(se3.pose_to_matrix(jnp.asarray(self._last_kf_odom))),
+            se3.pose_to_matrix(jnp.asarray(odom_pose)),
+        )
+        return np.asarray(se3.matrix_to_pose(jnp.matmul(T_prev_opt, Z)))
+
+    def _add_kf(self, pose, stamp, filt: Cloud, opt_pose, gps_alt=None):
+        cxyz, cmask, src_idx = subsample_cloud(filt.xyz, filt.mask, self.kf_points)
+        sc_desc = sc.make_descriptor(cxyz, cmask, self.scspec)
+        if self.cfg.loop.method == "isc":
+            cinten = filt.intensity[src_idx]
+            isc_desc = isc_ops.make_descriptor(cxyz, cinten, cmask, self.iscspec)
+        else:
+            isc_desc = jnp.zeros(
+                (self.cfg.isc.num_ring, self.cfg.isc.num_sector), jnp.float32)
+        self.db = _add_keyframe(
+            self.db, jnp.asarray(pose, jnp.float32), jnp.float32(stamp),
+            jnp.float32(self.travel), cxyz, cmask, sc_desc, isc_desc,
+            jnp.asarray(opt_pose, jnp.float32),
+        )
+        k = int(self.db.count) - 1
+        if k >= 1:
+            Z = jnp.matmul(
+                se3.inverse(se3.pose_to_matrix(jnp.asarray(self._last_kf_odom))),
+                se3.pose_to_matrix(jnp.asarray(pose, jnp.float32)),
+            )
+            self.graph = self.graph._replace(
+                between_T=self.graph.between_T.at[k].set(Z),
+                kf_mask=self.graph.kf_mask.at[k].set(True),
+            )
+        else:
+            self.graph = self.graph._replace(
+                kf_mask=self.graph.kf_mask.at[0].set(True))
+        if gps_alt is not None and self.cfg.pgo.use_gps:
+            self.graph = self.graph._replace(
+                gps_alt=self.graph.gps_alt.at[k].set(gps_alt),
+                gps_mask=self.graph.gps_mask.at[k].set(True),
+            )
+        self._last_kf_odom = np.asarray(pose, np.float32)
+
+    # ------------------------------------------------------------------ #
+    def _detect_and_verify(self, k: int, stamp: float):
+        cfg = self.cfg
+        method = cfg.loop.method
+        cand = -1
+        if method == "sc":
+            res = sc.detect_loop(self.db.sc_db[k], self.db.sc_db,
+                                 self.db.count, self.scspec)
+            if bool(res.found):
+                cand = int(res.idx)
+        elif method == "isc":
+            res = isc_ops.detect_loop(
+                self.db.isc_db[k], self.db.isc_db, self.db.count,
+                self.db.poses[:, :3], self.db.travel, self.iscspec)
+            if bool(res.found):
+                cand = int(res.idx)
+        elif method == "radius":
+            idx, found = _radius_candidate(
+                self.db, jnp.int32(k), jnp.float32(stamp),
+                cfg.loop.radius_search, cfg.loop.min_time_diff)
+            if bool(found):
+                cand = int(idx)
+        if cand < 0:
+            return None
+
+        # 2-D sanity gate (reference pgo_node.cpp:335-338)
+        d2 = float(np.linalg.norm(
+            np.asarray(self.db.opt_poses[k, :2] - self.db.opt_poses[cand, :2])))
+        if d2 > cfg.loop.max_loop_dist:
+            return None
+
+        # ICP verification: current kf cloud vs submap around candidate
+        tgt_xyz, tgt_mask, _ = build_submap(self.db, jnp.int32(cand), jnp.int32(cand),
+                                            cfg.loop.submap_half_width,
+                                            cfg.loop.submap_points)
+        T_init = jnp.matmul(
+            se3.inverse(se3.pose_to_matrix(self.db.opt_poses[cand])),
+            se3.pose_to_matrix(self.db.opt_poses[k]),
+        )
+        res = icp.align(self.db.clouds[k], self.db.cloud_mask[k],
+                        tgt_xyz, tgt_mask, T_init, self.icpspec)
+        fitness = float(res.fitness)
+        if not (fitness <= cfg.loop.icp_fitness_thresh):
+            return None
+        if self.loop_count >= self.gspec.max_loops:
+            return None
+        q = self.loop_count
+        self.graph = self.graph._replace(
+            loop_i=self.graph.loop_i.at[q].set(cand),
+            loop_j=self.graph.loop_j.at[q].set(k),
+            loop_T=self.graph.loop_T.at[q].set(res.T),
+            loop_info=self.graph.loop_info.at[q].set(1.0 / max(fitness, 1e-2)),
+            loop_mask=self.graph.loop_mask.at[q].set(True),
+        )
+        self.loop_count += 1
+        rec = LoopRecord(i=cand, j=k, fitness=fitness, method=method)
+        self.loops.append(rec)
+        self._dirty_graph = True
+        return rec
+
+    def _solve_graph(self):
+        opt = pg.solve(self.db.opt_poses, self.graph, self.gspec)
+        self.db = self.db._replace(opt_poses=opt)
+        self._dirty_graph = False
+
+    # ------------------------------------------------------------------ #
+    def finalize(self):
+        """Final PGO solve (the reference's shutdown ISAM2Update + SaveMap
+        trigger, pgo_node.cpp:487-495)."""
+        if self._dirty_graph or self.loop_count > 0:
+            self._solve_graph()
+
+    def keyframe_trajectory(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(stamps, odometry poses6, optimized poses6) for live keyframes."""
+        n = int(self.db.count)
+        return (np.asarray(self.db.stamps[:n]),
+                np.asarray(self.db.poses[:n]),
+                np.asarray(self.db.opt_poses[:n]))
+
+    def odometry_trajectory(self) -> np.ndarray:
+        return np.array([r["pose"] for r in self.odom_log], np.float32)
+
+    def assemble_map(self, voxel: float = 0.5, max_points: int = 1 << 20):
+        """Aggregate keyframe clouds at optimized poses (SaveMap analogue)."""
+        n = int(self.db.count)
+        pts = []
+        for k in range(n):
+            T = se3.pose_to_matrix(self.db.opt_poses[k])
+            p = se3.transform_points(T, self.db.clouds[k])
+            m = np.asarray(self.db.cloud_mask[k])
+            pts.append(np.asarray(p)[m])
+        allp = np.vstack(pts) if pts else np.zeros((0, 3), np.float32)
+        if voxel > 0 and len(allp):
+            keys = np.floor(allp / voxel).astype(np.int64)
+            _, idx = np.unique(keys, axis=0, return_index=True)
+            allp = allp[idx]
+        return allp[:max_points]

@@ -56,7 +56,12 @@ def voxel_downsample(cloud: Cloud, voxel_size: float, out_capacity: int) -> Clou
     data-parallel sort/scan instead of a hash map.
     """
     key = _voxel_keys(cloud.xyz, cloud.mask, voxel_size)
-    order = jnp.argsort(key)
+    # order by HASHED key so that capacity overflow drops a spatially unbiased
+    # subset of voxels (plain key order would drop one corner of the scene);
+    # segment boundaries still use the exact key, so voxel identity is exact.
+    h = (key * jnp.int32(-1640531527)) ^ (key >> 7)  # Knuth multiplicative mix
+    h = jnp.where(cloud.mask, h, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(h, stable=True)
     key_s = key[order]
     xyz_s = cloud.xyz[order]
     inten_s = cloud.intensity[order]

@@ -73,8 +73,13 @@ class AlignResult(NamedTuple):
 
 
 def ndt_loss(pose, src_xyz, src_mask, grid, gspec: vm.GridSpec,
-             d1: float, d2: float):
-    """NDT negative-likelihood loss (lower is better; d1 < 0)."""
+             d1: float, d2: float, psum_axis: str | None = None):
+    """NDT negative-likelihood loss (lower is better; d1 < 0).
+
+    With `psum_axis` set (inside `shard_map`), each device reduces its local
+    point shard and the partial sums are combined with an ICI all-reduce — the
+    direct analogue of the reference's per-thread partial sums + serial
+    reduction (`ndt_omp_impl.hpp:187-280`, SURVEY.md §2d P1/P5)."""
     pts = se3.rotate_translate(pose, src_xyz)
     mean_w, icov6, vvalid = vm.lookup7(grid, gspec, pts)
     delta = pts[:, None, :] - mean_w
@@ -82,7 +87,16 @@ def ndt_loss(pose, src_xyz, src_mask, grid, gspec: vm.GridSpec,
     x = jnp.sum(delta * q, -1)
     use = vvalid & src_mask[:, None]
     e = jnp.exp(-0.5 * d2 * jnp.maximum(x, 0.0))
-    return jnp.sum(jnp.where(use, d1 * e, 0.0))
+    local = jnp.sum(jnp.where(use, d1 * e, 0.0))
+    if psum_axis is not None:
+        # all_gather + same-order sum instead of psum: every device gets
+        # bit-identical totals, so data-dependent control flow (Newton
+        # convergence, line-search trip counts) cannot diverge across ranks —
+        # a plain psum may reduce in per-rank order and deadlock collectives
+        # inside `while_loop`.
+        parts = jax.lax.all_gather(local, psum_axis)
+        local = jnp.sum(parts)
+    return local
 
 
 def _fitness(pose, src_xyz, src_mask, grid, gspec):
@@ -100,21 +114,40 @@ def _fitness(pose, src_xyz, src_mask, grid, gspec):
     return frac, fitness
 
 
-@functools.partial(jax.jit, static_argnames=("gspec", "nspec"))
-def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
-          nspec: NdtSpec) -> AlignResult:
-    """Newton + More-Thuente NDT alignment, fully on-device.
+def newton_direction(g, H):
+    """Jacobi-scaled, eigenvalue-shifted Newton direction.
+
+    The reference solves the raw 6×6 system with JacobiSVD
+    (ndt_omp_impl.hpp:119-121) and lets More-Thuente cope with indefiniteness.
+    NDT Hessians mix radians and metres, so their eigenvalues span ~6 orders of
+    magnitude; a raw eigenvalue shift collapses the step onto the near-null
+    eigenvector. Scaling by 1/sqrt(|diag(H)|) first equilibrates the units,
+    then a shift clearing negative curvature yields a balanced guaranteed
+    descent direction that reduces to pure Newton when H is PD."""
+    d = jnp.sqrt(jnp.abs(jnp.diagonal(H)) + 1e-8)
+    S = 1.0 / d
+    Hs = H * S[:, None] * S[None, :]
+    lam = jnp.linalg.eigvalsh(Hs)
+    shift = jnp.maximum(0.0, -lam[0]) * 1.05 + 1e-3 * (jnp.abs(lam[-1]) + 1e-3)
+    dps = -jnp.linalg.solve(Hs + shift * jnp.eye(6, dtype=H.dtype), S * g)
+    dp = S * dps
+    # belt-and-braces: fall back to scaled steepest descent if numerics betray us
+    descent = jnp.dot(dp, g) < 0.0
+    return jnp.where(descent, dp, -(S * S) * g)
+
+
+def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x):
+    """Newton + More-Thuente-style line search, fully on-device, parameterized
+    by an arbitrary loss callable (single-device or psum-reduced SPMD).
+
+    `bcast` forces control-flow inputs to be bit-identical across SPMD ranks
+    (reverse-mode transposes of collectives can carry per-rank float skew, and
+    skew in `while_loop` trip counts deadlocks in-loop collectives).
 
     Mirrors `computeTransformation` (ndt_omp_impl.hpp:75-164): per iteration
-    compute ∇/H, solve the 6×6 Newton system, line-search the step length in
+    compute ∇/H, solve the 6×6 system, line-search the step length in
     (0, step_size], stop when the accepted step norm < trans_eps or
-    max_iterations is hit.
-    """
-    d1, d2 = gauss_constants(nspec.outlier_ratio, nspec.resolution)
-
-    def loss(p):
-        return ndt_loss(p, src_xyz, src_mask, grid, gspec, d1, d2)
-
+    max_iterations is hit."""
     vg_fn = jax.value_and_grad(loss)
     hess_fn = jax.hessian(loss)
 
@@ -122,14 +155,9 @@ def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
     nu = 0.9    # curvature constant
 
     def line_search(pose, direction, phi0, dphi0, alpha0):
-        """Bounded More-Thuente-style search along unit `direction`.
-
-        Returns the accepted step length (falls back to the best trial seen)."""
-
         def phi_dphi(a):
             f = lambda aa: loss(pose + aa * direction)
-            v, dv = jax.jvp(f, (a,), (jnp.ones_like(a),))
-            return v, dv
+            return jax.jvp(f, (a,), (jnp.ones_like(a),))
 
         def cond(state):
             a, t, done, best_a, best_phi = state
@@ -147,7 +175,8 @@ def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
             # quadratic interpolation backtrack, guarded to [0.1a, 0.5a]
             denom = 2.0 * (phi_a - phi0 - dphi0 * a)
             a_q = jnp.where(jnp.abs(denom) > 1e-12,
-                            -dphi0 * a * a / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0),
+                            -dphi0 * a * a / jnp.where(jnp.abs(denom) > 1e-12,
+                                                       denom, 1.0),
                             0.5 * a)
             a_next = jnp.clip(a_q, 0.1 * a, 0.5 * a)
             # if sufficient decrease holds but curvature fails with dphi<0,
@@ -169,29 +198,17 @@ def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
     def newton_body(state):
         pose, it, _converged, _ = state
         phi0, g = vg_fn(pose)
-        H = hess_fn(pose)
-        # Eigenvalue-shifted Newton (the reference's JacobiSVD solve, :119-121,
-        # does not guard indefiniteness; shifting to PD guarantees a descent
-        # direction far from the optimum and reduces to pure Newton near it).
-        # NDT Hessians are naturally ill-conditioned (radians vs metres at
-        # long range): the shift must clear negative curvature without
-        # swamping the small translation eigenvalues.
-        lam = jnp.linalg.eigvalsh(H)
-        shift = jnp.maximum(0.0, -lam[0]) + 1e-6 * (jnp.abs(lam[-1]) + 1.0)
-        Hr = H + shift * jnp.eye(6, dtype=H.dtype)
-        dp = -jnp.linalg.solve(Hr, g)
-        # belt-and-braces: fall back to steepest descent if numerics betray us
-        descent = jnp.dot(dp, g) < 0.0
-        dp = jnp.where(descent, dp, -g)
+        g = bcast(g)
+        H = bcast(hess_fn(pose))
+        dp = newton_direction(g, H)
         dpn = jnp.linalg.norm(dp) + 1e-12
         direction = dp / dpn
         dphi0 = jnp.dot(g, direction)
         alpha0 = jnp.minimum(dpn, nspec.step_size)
         alpha = line_search(pose, direction, phi0, dphi0, alpha0)
         new_pose = pose + alpha * direction
-        step_norm = alpha
-        converged = step_norm < nspec.trans_eps
-        return new_pose, it + 1, converged, step_norm
+        converged = alpha < nspec.trans_eps
+        return new_pose, it + 1, converged, alpha
 
     def newton_cond(state):
         _pose, it, converged, _ = state
@@ -203,6 +220,19 @@ def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
         (jnp.asarray(init_pose, jnp.float32), jnp.int32(0), jnp.bool_(False),
          jnp.float32(jnp.inf)),
     )
+    return pose, iters, converged
+
+
+@functools.partial(jax.jit, static_argnames=("gspec", "nspec"))
+def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
+          nspec: NdtSpec) -> AlignResult:
+    """Single-device NDT alignment (see `newton_align`)."""
+    d1, d2 = gauss_constants(nspec.outlier_ratio, nspec.resolution)
+
+    def loss(p):
+        return ndt_loss(p, src_xyz, src_mask, grid, gspec, d1, d2)
+
+    pose, iters, converged = newton_align(loss, init_pose, nspec)
     score = ndt_loss(pose, src_xyz, src_mask, grid, gspec, d1, d2)
     frac, fitness = _fitness(pose, src_xyz, src_mask, grid, gspec)
     return AlignResult(pose=pose, iterations=iters, converged=converged,

@@ -1,0 +1,96 @@
+"""Mid-run checkpoint / resume.
+
+The reference has no checkpointing at all — only terminal SaveMap on shutdown
+(SURVEY.md §5: 'a crash loses all state'). Here the full SLAM state — keyframe
+database (poses, clouds, descriptors), factor graph, odometry state including
+the voxel grids, and host counters — serializes to one compressed npz and
+restores to a resumable pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def _flatten(prefix: str, tree) -> dict:
+    out = {}
+    for name, val in zip(tree._fields, tree):
+        key = f"{prefix}.{name}"
+        if hasattr(val, "_fields"):
+            out.update(_flatten(key, val))
+        else:
+            out[key] = np.asarray(val)
+    return out
+
+
+def save_checkpoint(pipe, path: str) -> None:
+    arrays = {}
+    arrays.update(_flatten("db", pipe.db))
+    arrays.update(_flatten("graph", pipe.graph))
+    if pipe.odom_state is not None:
+        arrays.update(_flatten("odom", pipe.odom_state))
+    meta = {
+        "loop_count": pipe.loop_count,
+        "scan_count": pipe.scan_count,
+        "kf_gate_accum": pipe.kf_gate_accum,
+        "travel": pipe.travel,
+        "kf_points": pipe.kf_points,
+        "loops": [(r.i, r.j, r.fitness, r.method) for r in pipe.loops],
+        "last_odom_pose": None if pipe._last_odom_pose is None
+        else np.asarray(pipe._last_odom_pose).tolist(),
+        "last_kf_odom": None if pipe._last_kf_odom is None
+        else np.asarray(pipe._last_kf_odom).tolist(),
+        "config": pipe.cfg.to_json(),
+    }
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_checkpoint(path: str):
+    """Restore a SlamPipeline from a checkpoint file."""
+    import jax.numpy as jnp
+
+    from xchu_slam_tpu.config import SlamConfig
+    from xchu_slam_tpu.models import odometry
+    from xchu_slam_tpu.models.pipeline import KfDb, LoopRecord, SlamPipeline
+    from xchu_slam_tpu.models.pose_graph import GraphData
+    from xchu_slam_tpu.types import VoxelGrid
+
+    data = np.load(path)
+    meta = json.loads(bytes(data["__meta__"]).decode())
+    cfg = SlamConfig.from_json(meta["config"])
+    pipe = SlamPipeline(cfg, kf_points=meta["kf_points"])
+
+    def unflatten(prefix, cls, casts=None):
+        vals = []
+        for name in cls._fields:
+            key = f"{prefix}.{name}"
+            if key in data:
+                vals.append(jnp.asarray(data[key]))
+            else:
+                # nested pytree
+                sub = _NESTED.get((cls.__name__, name))
+                vals.append(unflatten(key, sub))
+        return cls(*vals)
+
+    _NESTED = {("OdomState", "grid_a"): VoxelGrid,
+               ("OdomState", "grid_b"): VoxelGrid}
+
+    pipe.db = unflatten("db", KfDb)
+    pipe.graph = unflatten("graph", GraphData)
+    if "odom.pose" in data:
+        pipe.odom_state = unflatten("odom", odometry.OdomState)
+    pipe.loop_count = int(meta["loop_count"])
+    pipe.scan_count = int(meta["scan_count"])
+    pipe.kf_gate_accum = float(meta["kf_gate_accum"])
+    pipe.travel = float(meta["travel"])
+    pipe.loops = [LoopRecord(i=i, j=j, fitness=f, method=m)
+                  for (i, j, f, m) in meta["loops"]]
+    if meta["last_odom_pose"] is not None:
+        pipe._last_odom_pose = np.asarray(meta["last_odom_pose"], np.float32)
+    if meta["last_kf_odom"] is not None:
+        pipe._last_kf_odom = np.asarray(meta["last_kf_odom"], np.float32)
+    return pipe

@@ -100,6 +100,27 @@ def inv3(A: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det[..., None, None]
 
 
+def smallest_eigvec3(A: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of symmetric [..., 3, 3].
+
+    Branch-free: the null direction of (A − λ₀I) is recovered as the largest
+    cross product between its rows (rows span the orthogonal complement)."""
+    lam0 = sym_eigvals3(A)[..., 0]
+    B = A - lam0[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    r0, r1, r2 = B[..., 0, :], B[..., 1, :], B[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    cands = jnp.stack([c01, c02, c12], -2)
+    norms = jnp.linalg.norm(cands, axis=-1)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1), -2)[..., 0, :]
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # fully degenerate (isotropic) matrix → any direction; pick +z
+    fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], A.dtype), v.shape)
+    return jnp.where(n > 1e-12, v / jnp.maximum(n, 1e-12), fallback)
+
+
 def inflate_and_invert_cov(cov: jnp.ndarray, inflation: float) -> jnp.ndarray:
     """NDT covariance conditioning (reference `voxel_grid_covariance_omp_impl.hpp:343-364`):
     floor small eigenvalues at `inflation`·λ_max, return the inverse.

@@ -124,9 +124,11 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """[..., 3, 3] → [..., 3]."""
+    """[..., 3, 3] → [..., 3]. Autodiff-safe near the identity (double-where
+    guards: the untaken branch must not produce NaN in reverse mode)."""
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    # keep arccos' argument strictly inside (−1, 1) so its gradient is finite
+    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0 + 1e-6, 1.0 - 1e-6)
     theta = jnp.arccos(cos_t)
     vee = jnp.stack(
         [
@@ -136,12 +138,10 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         -1,
     )
-    sin_t = jnp.sin(theta)
-    scale = jnp.where(
-        theta[..., None] < 1e-5,
-        0.5 + theta[..., None] ** 2 / 12.0,
-        theta[..., None] / (2.0 * sin_t[..., None] + _EPS),
-    )
+    small = theta[..., None] < 1e-4
+    theta_safe = jnp.where(small, 1.0, theta[..., None])
+    scale_large = theta_safe / (2.0 * jnp.sin(theta_safe))
+    scale = jnp.where(small, 0.5 + theta[..., None] ** 2 / 12.0, scale_large)
     # near theta=pi the vee formula degrades; acceptable for pose-graph steps
     return scale * vee
 
