@@ -31,8 +31,8 @@ def main():
     from xchu_slam_tpu.types import make_cloud
     from xchu_slam_tpu.utils import metrics, sim
 
-    fcfg = FilterConfig(max_raw_points=131072, max_points=16384,
-                        outlier_method="radius")
+    fcfg = FilterConfig(max_raw_points=32768, max_points=16384,
+                        outlier_method="radius")  # scans are 24k pts
     ospec = odometry.OdomSpec(
         gspec=vm.GridSpec(gx=80, gy=80, gz=24, resolution=2.0, min_points=6,
                           eig_inflation=0.01),

@@ -125,6 +125,8 @@ class LoopConfig:
     icp_fitness_thresh: float = 0.3
     detect_period: int = 2          # run detection every N keyframes (2 Hz analogue)
     submap_points: int = 16384      # fixed submap cloud capacity for ICP
+    async_detect: bool = False      # run detect+verify on a worker thread
+    # (the reference's LoopClosure/ICPRefine threads, without the mutexes)
 
 
 @dataclass(frozen=True)

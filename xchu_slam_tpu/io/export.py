@@ -93,6 +93,25 @@ def write_g2o(path: str, poses: np.ndarray, between_T: np.ndarray,
                     f"{q[0]:.8f} {q[1]:.8f} {q[2]:.8f} {q[3]:.8f} {li}\n")
 
 
+def write_markers(path: str, poses: np.ndarray,
+                  loops: list[tuple[int, int]]) -> None:
+    """Pose-graph visualization markers as JSON: node spheres, odometry edges,
+    loop edges — the reference's rviz MarkerArray (`CreateMarker`,
+    pgo_node.cpp:814-900) as a viewer-agnostic artifact."""
+    import json
+
+    nodes = [{"id": int(i), "xyz": [float(v) for v in T[:3, 3]]}
+             for i, T in enumerate(poses)]
+    odom_edges = [{"i": i - 1, "j": i} for i in range(1, len(poses))]
+    loop_edges = [{"i": int(i), "j": int(j)} for (i, j) in loops]
+    with open(path, "w") as f:
+        json.dump({
+            "nodes": nodes,                       # blue spheres
+            "odometry_edges": odom_edges,         # green lines
+            "loop_edges": loop_edges,             # red lines
+        }, f)
+
+
 def save_run(pipe, out_dir: str, to_camera_frame: bool = False) -> dict:
     """Export all run artifacts from a SlamPipeline. Returns file paths."""
     import jax.numpy as jnp
@@ -131,4 +150,7 @@ def save_run(pipe, out_dir: str, to_camera_frame: bool = False) -> dict:
     paths["g2o"] = os.path.join(out_dir, "pose_graph.g2o")
     write_g2o(paths["g2o"], T_opt, between, loops,
               odom_info=(pipe.gspec.odom_info_t, pipe.gspec.odom_info_r))
+
+    paths["markers"] = os.path.join(out_dir, "markers.json")
+    write_markers(paths["markers"], T_opt, [(i, j) for (i, j, _Z, _f) in loops])
     return paths

@@ -92,10 +92,13 @@ def init_state(spec: OdomSpec, init_pose, xyz, mask) -> OdomState:
     )
 
 
-def _guess(state: OdomState) -> jnp.ndarray:
-    """Constant-velocity prediction; roll/pitch held at the previous values
-    (reference odom_node.cpp:237-254)."""
-    g = state.pose + state.diff
+def _guess(state: OdomState, ext_delta, use_ext) -> jnp.ndarray:
+    """Initial-guess prediction; roll/pitch held at the previous values
+    (reference odom_node.cpp:237-254). With `use_ext`, the delta comes from an
+    external provider (IMU / wheel odometry, see ops/imu.py — the reference's
+    use_imu/use_odom modes) instead of the constant-velocity model."""
+    delta = jnp.where(use_ext, ext_delta, state.diff)
+    g = state.pose + delta
     g = g.at[3].set(state.pose[3])
     g = g.at[4].set(state.pose[4])
     g = g.at[5].set(se3.wrap_angle(g[5]))
@@ -103,9 +106,12 @@ def _guess(state: OdomState) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("spec",), donate_argnames=("state",))
-def step(state: OdomState, xyz, mask, spec: OdomSpec):
+def step(state: OdomState, xyz, mask, spec: OdomSpec,
+         ext_delta=None, use_ext=False):
     """One odometry scan step. Returns (new_state, OdomOutput)."""
-    guess = _guess(state)
+    if ext_delta is None:
+        ext_delta = jnp.zeros(6, jnp.float32)
+    guess = _guess(state, ext_delta, jnp.asarray(use_ext))
     res = ndt.align(state.grid_a, xyz, mask, guess, spec.gspec, spec.nspec)
     pose = res.pose
     diff = pose - state.pose

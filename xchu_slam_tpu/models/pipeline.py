@@ -65,6 +65,18 @@ def empty_db(cfg: SlamConfig, kf_points: int) -> KfDb:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("fcfg", "ospec"),
+                   donate_argnames=("state",))
+def fused_filter_step(state, cloud: Cloud, fcfg, ospec):
+    """Filter + odometry step as ONE device program per scan — a single
+    dispatch over the host↔device link instead of two (the per-scan hot
+    path; the reference's filter_node→odom_node topic hop collapses into an
+    XLA-fused pipeline stage)."""
+    filt = filter_scan(cloud, fcfg)
+    new_state, out = odometry.step(state, filt.xyz, filt.mask, ospec)
+    return new_state, out, filt
+
+
 @functools.partial(jax.jit, static_argnames=("n_out",))
 def subsample_cloud(xyz, mask, n_out: int):
     """Spatially unbiased fixed-size subsample: compact valid points then take
@@ -81,6 +93,8 @@ def subsample_cloud(xyz, mask, n_out: int):
             mask_c[idx] & take_mask, src_idx)
 
 
+# NOTE: db is deliberately NOT donated — the async loop worker may hold a
+# snapshot of these arrays (HBM copies are cheap; invalidated buffers are not)
 @jax.jit
 def _add_keyframe(db: KfDb, pose6, stamp, travel, cloud_xyz, cloud_mask,
                   sc_desc, isc_desc, opt_pose6):
@@ -160,6 +174,10 @@ class SlamPipeline:
         self._last_odom_pose = None
         self._last_kf_odom = None
         self._dirty_graph = False
+        self._worker = None
+        if cfg.loop.async_detect:
+            from xchu_slam_tpu.models.async_worker import AsyncLoopWorker
+            self._worker = AsyncLoopWorker(self)
         # diagnostics
         self.odom_log: list[dict] = []
 
@@ -168,14 +186,9 @@ class SlamPipeline:
                      stamp: float, gps_alt: float | None = None) -> dict:
         cfg = self.cfg
         cloud = make_cloud(xyz, intensity, capacity=cfg.filter.max_raw_points)
-        filt = filter_scan(cloud, cfg.filter)
-        ground_res = None
-        if cfg.filter.detect_ground:
-            from xchu_slam_tpu.ops import ground as ground_ops
-            ground_res = ground_ops.detect_plane(
-                filt.xyz, filt.mask, ground_ops.spec_from_config(cfg.ground))
 
         if self.odom_state is None:
+            filt = filter_scan(cloud, cfg.filter)
             init = jnp.zeros(6, jnp.float32)
             self.odom_state = odometry.init_state(self.ospec, init, filt.xyz, filt.mask)
             pose = np.zeros(6, np.float32)
@@ -183,10 +196,11 @@ class SlamPipeline:
             self._add_kf(pose, stamp, filt, opt_pose=pose, gps_alt=gps_alt)
             self.scan_count += 1
             return {"pose": pose, "keyframe": True, "loop": None,
-                    "ground": ground_res}
+                    "ground": self._maybe_ground(filt)}
 
-        self.odom_state, out = odometry.step(self.odom_state, filt.xyz,
-                                             filt.mask, self.ospec)
+        self.odom_state, out, filt = fused_filter_step(
+            self.odom_state, cloud, cfg.filter, self.ospec)
+        ground_res = self._maybe_ground(filt)
         pose = np.asarray(out.pose)
         step_d = float(np.linalg.norm(pose[:2] - self._last_odom_pose[:2]))
         self.travel += step_d
@@ -209,11 +223,30 @@ class SlamPipeline:
             self._add_kf(pose, stamp, filt, opt_pose=opt_pose, gps_alt=gps_alt)
             k = int(self.db.count) - 1
             if k >= 1 and k % cfg.loop.detect_period == 0:
-                loop_rec = self._detect_and_verify(k, stamp)
+                if self._worker is not None:
+                    self._worker.submit(k, stamp)
+                else:
+                    loop_rec = self._detect_and_verify(k, stamp)
             if loop_rec is not None:
+                self._solve_graph()
+        # apply asynchronously verified loops at scan boundaries
+        if self._worker is not None:
+            applied = False
+            for v in self._worker.drain():
+                if self._apply_loop(v) is not None:
+                    applied = True
+                    loop_rec = self.loops[-1]
+            if applied:
                 self._solve_graph()
         return {"pose": pose, "keyframe": is_kf, "loop": loop_rec,
                 "ground": ground_res}
+
+    def _maybe_ground(self, filt: Cloud):
+        if not self.cfg.filter.detect_ground:
+            return None
+        from xchu_slam_tpu.ops import ground as ground_ops
+        return ground_ops.detect_plane(
+            filt.xyz, filt.mask, ground_ops.spec_from_config(self.cfg.ground))
 
     # ------------------------------------------------------------------ #
     def _chain_opt_pose(self, odom_pose: np.ndarray) -> np.ndarray:
@@ -264,24 +297,27 @@ class SlamPipeline:
         self._last_kf_odom = np.asarray(pose, np.float32)
 
     # ------------------------------------------------------------------ #
-    def _detect_and_verify(self, k: int, stamp: float):
+    def detect_and_verify_snapshot(self, k: int, stamp: float):
+        """Pure detection + ICP verification against the CURRENT immutable
+        database snapshot. Mutates nothing — safe to call from the async
+        worker thread; the pipeline thread applies the result."""
         cfg = self.cfg
+        db = self.db  # atomic snapshot (arrays are immutable)
         method = cfg.loop.method
         cand = -1
         if method == "sc":
-            res = sc.detect_loop(self.db.sc_db[k], self.db.sc_db,
-                                 self.db.count, self.scspec)
+            res = sc.detect_loop(db.sc_db[k], db.sc_db, db.count, self.scspec)
             if bool(res.found):
                 cand = int(res.idx)
         elif method == "isc":
             res = isc_ops.detect_loop(
-                self.db.isc_db[k], self.db.isc_db, self.db.count,
-                self.db.poses[:, :3], self.db.travel, self.iscspec)
+                db.isc_db[k], db.isc_db, db.count,
+                db.poses[:, :3], db.travel, self.iscspec)
             if bool(res.found):
                 cand = int(res.idx)
         elif method == "radius":
             idx, found = _radius_candidate(
-                self.db, jnp.int32(k), jnp.float32(stamp),
+                db, jnp.int32(k), jnp.float32(stamp),
                 cfg.loop.radius_search, cfg.loop.min_time_diff)
             if bool(found):
                 cand = int(idx)
@@ -290,38 +326,50 @@ class SlamPipeline:
 
         # 2-D sanity gate (reference pgo_node.cpp:335-338)
         d2 = float(np.linalg.norm(
-            np.asarray(self.db.opt_poses[k, :2] - self.db.opt_poses[cand, :2])))
+            np.asarray(db.opt_poses[k, :2] - db.opt_poses[cand, :2])))
         if d2 > cfg.loop.max_loop_dist:
             return None
 
         # ICP verification: current kf cloud vs submap around candidate
-        tgt_xyz, tgt_mask, _ = build_submap(self.db, jnp.int32(cand), jnp.int32(cand),
+        tgt_xyz, tgt_mask, _ = build_submap(db, jnp.int32(cand), jnp.int32(cand),
                                             cfg.loop.submap_half_width,
                                             cfg.loop.submap_points)
         T_init = jnp.matmul(
-            se3.inverse(se3.pose_to_matrix(self.db.opt_poses[cand])),
-            se3.pose_to_matrix(self.db.opt_poses[k]),
+            se3.inverse(se3.pose_to_matrix(db.opt_poses[cand])),
+            se3.pose_to_matrix(db.opt_poses[k]),
         )
-        res = icp.align(self.db.clouds[k], self.db.cloud_mask[k],
+        res = icp.align(db.clouds[k], db.cloud_mask[k],
                         tgt_xyz, tgt_mask, T_init, self.icpspec)
         fitness = float(res.fitness)
         if not (fitness <= cfg.loop.icp_fitness_thresh):
             return None
+        from xchu_slam_tpu.models.async_worker import VerifiedLoop
+        return VerifiedLoop(i=cand, j=k, T=res.T, fitness=fitness,
+                            method=method)
+
+    def _apply_loop(self, v) -> LoopRecord | None:
+        """Apply a verified loop to the factor graph (pipeline thread only)."""
         if self.loop_count >= self.gspec.max_loops:
             return None
         q = self.loop_count
         self.graph = self.graph._replace(
-            loop_i=self.graph.loop_i.at[q].set(cand),
-            loop_j=self.graph.loop_j.at[q].set(k),
-            loop_T=self.graph.loop_T.at[q].set(res.T),
-            loop_info=self.graph.loop_info.at[q].set(1.0 / max(fitness, 1e-2)),
+            loop_i=self.graph.loop_i.at[q].set(v.i),
+            loop_j=self.graph.loop_j.at[q].set(v.j),
+            loop_T=self.graph.loop_T.at[q].set(v.T),
+            loop_info=self.graph.loop_info.at[q].set(1.0 / max(v.fitness, 1e-2)),
             loop_mask=self.graph.loop_mask.at[q].set(True),
         )
         self.loop_count += 1
-        rec = LoopRecord(i=cand, j=k, fitness=fitness, method=method)
+        rec = LoopRecord(i=v.i, j=v.j, fitness=v.fitness, method=v.method)
         self.loops.append(rec)
         self._dirty_graph = True
         return rec
+
+    def _detect_and_verify(self, k: int, stamp: float):
+        v = self.detect_and_verify_snapshot(k, stamp)
+        if v is None:
+            return None
+        return self._apply_loop(v)
 
     def _solve_graph(self):
         opt = pg.solve(self.db.opt_poses, self.graph, self.gspec)
@@ -332,6 +380,14 @@ class SlamPipeline:
     def finalize(self):
         """Final PGO solve (the reference's shutdown ISAM2Update + SaveMap
         trigger, pgo_node.cpp:487-495)."""
+        if self._worker is not None:
+            # stop FIRST (join waits for the in-flight verification to finish
+            # and deposit its result), then drain — the other order loses the
+            # final loop
+            self._worker.stop()
+            for v in self._worker.drain():
+                self._apply_loop(v)
+            self._worker = None
         if self._dirty_graph or self.loop_count > 0:
             self._solve_graph()
 

@@ -179,8 +179,10 @@ def filter_scan(cloud: Cloud, cfg) -> Cloud:
     c = voxel_downsample(c, cfg.voxel_size, cfg.max_points)
     if cfg.outlier_method == "radius":
         c = radius_outlier_removal(
-            c, cfg.radius_outlier_radius, cfg.radius_outlier_min_neighbors
+            c, cfg.radius_outlier_radius, cfg.radius_outlier_min_neighbors,
+            chunk=4096,
         )
     elif cfg.outlier_method == "statistical":
-        c = statistical_outlier_removal(c, cfg.stat_outlier_k, cfg.stat_outlier_stddev)
+        c = statistical_outlier_removal(c, cfg.stat_outlier_k,
+                                        cfg.stat_outlier_stddev, chunk=4096)
     return compact(c, cfg.max_points)

@@ -116,6 +116,20 @@ def intensity_scores(query, db, best_shift, spec: IscSpec, chunk: int = 64):
     return out.reshape(-1)[:K]
 
 
+def isc_rgb(desc: jnp.ndarray) -> jnp.ndarray:
+    """Render an ISC descriptor as an RGB image uint8 [R, S, 3] — the debug
+    visualization the reference publishes on `/isc` (`getLastISCRGB`,
+    ISCGeneration.cpp:96-105; jet-style colormap)."""
+    v = jnp.clip(desc, 0.0, 1.0)
+    # simple jet approximation
+    r = jnp.clip(1.5 - jnp.abs(4.0 * v - 3.0), 0, 1)
+    g = jnp.clip(1.5 - jnp.abs(4.0 * v - 2.0), 0, 1)
+    b = jnp.clip(1.5 - jnp.abs(4.0 * v - 1.0), 0, 1)
+    img = jnp.stack([r, g, b], -1)
+    img = jnp.where(v[..., None] > 0.0, img, 0.0)
+    return (img * 255.0).astype(jnp.uint8)
+
+
 class IscLoop(NamedTuple):
     idx: jnp.ndarray
     score: jnp.ndarray

@@ -30,6 +30,10 @@ import jax.numpy as jnp
 from xchu_slam_tpu.ops import voxel_map as vm
 from xchu_slam_tpu.utils import linalg, se3
 
+# imported late in the file's own functions; kept at module scope so tracing
+# never triggers a first import (module-level constants must not be tracers)
+from xchu_slam_tpu.ops import ndt_deriv  # noqa: E402  (circular-safe: see below)
+
 
 class NdtSpec(NamedTuple):
     """Static alignment hyper-parameters (reference odom_node.cpp:56-90)."""
@@ -40,6 +44,13 @@ class NdtSpec(NamedTuple):
     outlier_ratio: float = 0.55
     resolution: float = 2.0
     ls_max_trials: int = 10
+    closed_form: bool = True  # fused analytic ∇/H (ndt_deriv) vs autodiff
+    regather_dist: float = 0.0  # re-gather DIRECT7 neighborhoods after this
+    # much effective movement (m; rotation weighted by max range). 0.0 =
+    # re-gather every Newton iteration (reference behavior); the gathered
+    # neighborhood is still reused across that iteration's line-search trials
+    # (3× fewer HBM gathers than naive autodiff). Values >0 freeze
+    # neighborhoods across iterations — measurably biases odometry; keep 0.
 
 
 def spec_from_config(ndt_cfg) -> NdtSpec:
@@ -50,6 +61,7 @@ def spec_from_config(ndt_cfg) -> NdtSpec:
         outlier_ratio=ndt_cfg.outlier_ratio,
         resolution=ndt_cfg.resolution,
         ls_max_trials=ndt_cfg.line_search_max_trials,
+        closed_form=getattr(ndt_cfg, "use_closed_form", True),
     )
 
 
@@ -114,29 +126,75 @@ def _fitness(pose, src_xyz, src_mask, grid, gspec):
     return frac, fitness
 
 
+def _chol_solve6(A, b):
+    """Unrolled branch-free 6×6 Cholesky solve. Returns (x, ok) where `ok`
+    is False if any pivot was non-positive (A not PD — x is then garbage).
+
+    XLA lowers `jnp.linalg.eigvalsh`/`solve` on TPU to iterative algorithms
+    costing ~1.5 ms each even at 6×6; this unrolled form fuses into the
+    surrounding kernel for microseconds."""
+    n = 6
+    ok = jnp.bool_(True)
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                ok = ok & (s > 1e-10)
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution Lᵀ x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x), ok
+
+
 def newton_direction(g, H):
-    """Jacobi-scaled, eigenvalue-shifted Newton direction.
+    """Jacobi-scaled, Gershgorin-shifted Newton direction — branch-free and
+    fully fused (no iterative eig/LU).
 
     The reference solves the raw 6×6 system with JacobiSVD
     (ndt_omp_impl.hpp:119-121) and lets More-Thuente cope with indefiniteness.
     NDT Hessians mix radians and metres, so their eigenvalues span ~6 orders of
-    magnitude; a raw eigenvalue shift collapses the step onto the near-null
-    eigenvector. Scaling by 1/sqrt(|diag(H)|) first equilibrates the units,
-    then a shift clearing negative curvature yields a balanced guaranteed
-    descent direction that reduces to pure Newton when H is PD."""
+    magnitude; scaling by 1/sqrt(|diag(H)|) equilibrates the units, then a
+    Gershgorin lower-bound shift clears any negative curvature so the scaled
+    system is PD (diagonally dominant) and the unrolled Cholesky solve yields
+    a guaranteed descent direction, reducing to ~pure Newton when H is PD."""
     d = jnp.sqrt(jnp.abs(jnp.diagonal(H)) + 1e-8)
     S = 1.0 / d
     Hs = H * S[:, None] * S[None, :]
-    lam = jnp.linalg.eigvalsh(Hs)
-    shift = jnp.maximum(0.0, -lam[0]) * 1.05 + 1e-3 * (jnp.abs(lam[-1]) + 1e-3)
-    dps = -jnp.linalg.solve(Hs + shift * jnp.eye(6, dtype=H.dtype), S * g)
-    dp = S * dps
+    I6 = jnp.eye(6, dtype=H.dtype)
+    # tier 1: near-Newton (light damping) — valid whenever H is PD
+    x1, ok1 = _chol_solve6(Hs + 1e-3 * I6, S * g)
+    # tier 2: Gershgorin-shifted (guaranteed PD by diagonal dominance)
+    radii = jnp.sum(jnp.abs(Hs), axis=1) - jnp.abs(jnp.diagonal(Hs))
+    lower = jnp.min(jnp.diagonal(Hs) - radii)
+    upper = jnp.max(jnp.diagonal(Hs) + radii)
+    shift = jnp.maximum(0.0, -lower) * 1.05 + 1e-3 * (jnp.abs(upper) + 1e-3)
+    x2, _ok2 = _chol_solve6(Hs + shift * I6, S * g)
+    dp = S * jnp.where(ok1, x1, x2)
+    dp = -dp
     # belt-and-braces: fall back to scaled steepest descent if numerics betray us
     descent = jnp.dot(dp, g) < 0.0
     return jnp.where(descent, dp, -(S * S) * g)
 
 
-def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x):
+def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
+                 vgh=None, vg=None, prepare=None):
     """Newton + More-Thuente-style line search, fully on-device, parameterized
     by an arbitrary loss callable (single-device or psum-reduced SPMD).
 
@@ -147,17 +205,31 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x):
     Mirrors `computeTransformation` (ndt_omp_impl.hpp:75-164): per iteration
     compute ∇/H, solve the 6×6 system, line-search the step length in
     (0, step_size], stop when the accepted step norm < trans_eps or
-    max_iterations is hit."""
-    vg_fn = jax.value_and_grad(loss)
-    hess_fn = jax.hessian(loss)
+    max_iterations is hit.
+
+    With `vgh`/`vg` provided (closed-form fused derivatives, ops.ndt_deriv),
+    each Newton iteration is ~3 data passes instead of ~13 autodiff passes."""
+    if vgh is None:
+        _vg = jax.value_and_grad(loss)
+        _hess = jax.hessian(loss)
+        vgh = lambda p, ctx: (*_vg(p), _hess(p))
+    if prepare is None:
+        prepare = lambda p: jnp.zeros((), jnp.float32)  # dummy ctx
 
     mu = 1e-4   # sufficient-decrease (Armijo) constant, as in MT (:771)
     nu = 0.9    # curvature constant
 
-    def line_search(pose, direction, phi0, dphi0, alpha0):
-        def phi_dphi(a):
-            f = lambda aa: loss(pose + aa * direction)
-            return jax.jvp(f, (a,), (jnp.ones_like(a),))
+    def line_search(pose, direction, phi0, dphi0, alpha0, ctx):
+        if vg is None:
+            # forward-mode directional derivative: deterministic across SPMD
+            # ranks (reverse-mode collective transposes can skew per rank)
+            def phi_dphi(a):
+                f = lambda aa: loss(pose + aa * direction)
+                return jax.jvp(f, (a,), (jnp.ones_like(a),))
+        else:
+            def phi_dphi(a):
+                phi_a, g_a = vg(pose + a * direction, ctx)
+                return phi_a, jnp.dot(g_a, direction)
 
         def cond(state):
             a, t, done, best_a, best_phi = state
@@ -195,30 +267,38 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x):
         improved = best_phi < phi0
         return jnp.where(accepted | improved, a_out, 0.0)
 
+    def _moved(a, b):
+        d = a - b
+        return jnp.linalg.norm(d[:3]) + 60.0 * jnp.linalg.norm(d[3:])
+
     def newton_body(state):
-        pose, it, _converged, _ = state
-        phi0, g = vg_fn(pose)
+        pose, it, _converged, _, ctx, ctx_pose = state
+        regather = _moved(pose, ctx_pose) > nspec.regather_dist
+        ctx = jax.lax.cond(regather, lambda _: prepare(pose), lambda c: c, ctx)
+        ctx_pose = jnp.where(regather, pose, ctx_pose)
+        phi0, g, H = vgh(pose, ctx)
         g = bcast(g)
-        H = bcast(hess_fn(pose))
+        H = bcast(H)
         dp = newton_direction(g, H)
         dpn = jnp.linalg.norm(dp) + 1e-12
         direction = dp / dpn
         dphi0 = jnp.dot(g, direction)
         alpha0 = jnp.minimum(dpn, nspec.step_size)
-        alpha = line_search(pose, direction, phi0, dphi0, alpha0)
+        alpha = line_search(pose, direction, phi0, dphi0, alpha0, ctx)
         new_pose = pose + alpha * direction
         converged = alpha < nspec.trans_eps
-        return new_pose, it + 1, converged, alpha
+        return new_pose, it + 1, converged, alpha, ctx, ctx_pose
 
     def newton_cond(state):
-        _pose, it, converged, _ = state
-        return (~converged) & (it < nspec.max_iterations)
+        return (~state[2]) & (state[1] < nspec.max_iterations)
 
-    pose, iters, converged, _ = jax.lax.while_loop(
+    init_pose = jnp.asarray(init_pose, jnp.float32)
+    ctx0 = prepare(init_pose)
+    pose, iters, converged, _, _, _ = jax.lax.while_loop(
         newton_cond,
         newton_body,
-        (jnp.asarray(init_pose, jnp.float32), jnp.int32(0), jnp.bool_(False),
-         jnp.float32(jnp.inf)),
+        (init_pose, jnp.int32(0), jnp.bool_(False), jnp.float32(jnp.inf),
+         ctx0, jnp.array(init_pose)),
     )
     return pose, iters, converged
 
@@ -232,7 +312,24 @@ def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
     def loss(p):
         return ndt_loss(p, src_xyz, src_mask, grid, gspec, d1, d2)
 
-    pose, iters, converged = newton_align(loss, init_pose, nspec)
+    if nspec.closed_form:
+        def prepare(p):
+            return ndt_deriv.neighborhood(p, src_xyz, grid, gspec)
+
+        def vgh(p, nb):
+            return ndt_deriv.ndt_value_grad_hess(
+                p, src_xyz, src_mask, grid, gspec, d1, d2, nb=nb)
+
+        def vg(p, nb):
+            L, g, _ = ndt_deriv.ndt_value_grad_hess(
+                p, src_xyz, src_mask, grid, gspec, d1, d2, want_hess=False,
+                nb=nb)
+            return L, g
+
+        pose, iters, converged = newton_align(loss, init_pose, nspec,
+                                              vgh=vgh, vg=vg, prepare=prepare)
+    else:
+        pose, iters, converged = newton_align(loss, init_pose, nspec)
     score = ndt_loss(pose, src_xyz, src_mask, grid, gspec, d1, d2)
     frac, fitness = _fitness(pose, src_xyz, src_mask, grid, gspec)
     return AlignResult(pose=pose, iterations=iters, converged=converged,

@@ -1,0 +1,143 @@
+"""Closed-form NDT score / gradient / Hessian in one fused pass.
+
+The math of `pclomp::computeDerivatives` + `computeAngleDerivatives` +
+`computePointDerivatives` + `updateDerivatives`
+(reference `pclomp/ndt_omp_impl.hpp:177-548`), re-derived as batched tensor
+contractions: one evaluation touches every (point × DIRECT7-voxel) pair
+exactly once and reduces L, ∇L [6], ∇²L [6,6] with einsums — versus ~13
+point-passes for a forward-over-reverse autodiff Hessian. Exactness (including
+the second-order angle terms the reference packs into `point_hessian_`) is
+validated against `jax.hessian` in tests.
+
+Parameterization matches ops.ndt / utils.se3: p = [t; r,p,y],
+x' = Rz(y)Ry(p)Rx(r)·q + t, loss = Σ d1·exp(−d2/2·δᵀBδ), δ = x'−μ.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from xchu_slam_tpu.ops import voxel_map as vm
+from xchu_slam_tpu.utils import linalg
+
+# coordinate-bearing contractions must not drop to bf16 on the MXU
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _rot_and_derivs(rpy):
+    """R, dR/dθ [3,3,3] (k=r,p,y), d²R/dθdθ [6,3,3] (rr,rp,ry,pp,py,yy)."""
+    r, p, y = rpy[0], rpy[1], rpy[2]
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    cp, sp = jnp.cos(p), jnp.sin(p)
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    Rx = jnp.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = jnp.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rz = jnp.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    dRx = jnp.array([[0, 0, 0], [0, -sr, -cr], [0, cr, -sr]])
+    dRy = jnp.array([[-sp, 0, cp], [0, 0, 0], [-cp, 0, -sp]])
+    dRz = jnp.array([[-sy, -cy, 0], [cy, -sy, 0], [0, 0, 0]])
+    d2Rx = jnp.array([[0, 0, 0], [0, -cr, sr], [0, -sr, -cr]])
+    d2Ry = jnp.array([[-cp, 0, -sp], [0, 0, 0], [sp, 0, -cp]])
+    d2Rz = jnp.array([[-cy, sy, 0], [-sy, -cy, 0], [0, 0, 0]])
+
+    R = Rz @ Ry @ Rx
+    dR = jnp.stack([Rz @ Ry @ dRx, Rz @ dRy @ Rx, dRz @ Ry @ Rx])
+    d2R = jnp.stack([
+        Rz @ Ry @ d2Rx,   # rr
+        Rz @ dRy @ dRx,   # rp
+        dRz @ Ry @ dRx,   # ry
+        Rz @ d2Ry @ Rx,   # pp
+        dRz @ dRy @ Rx,   # py
+        d2Rz @ Ry @ Rx,   # yy
+    ])
+    return R, dR, d2R
+
+
+# index pairs for the packed angle-angle Hessian block (rr,rp,ry,pp,py,yy)
+# (numpy, not jnp: module import may happen inside a trace)
+import numpy as _np
+
+_PAIR_I = _np.array([0, 0, 0, 1, 1, 2])
+_PAIR_J = _np.array([0, 1, 2, 1, 2, 2])
+
+
+def neighborhood(pose, src_xyz, grid, gspec: vm.GridSpec):
+    """DIRECT7 neighborhood of the transformed source: (mean_w, icov6, valid).
+
+    Computed once per Newton iteration and reused for the line-search trial
+    evaluations: trial steps are ≤ step_size (0.1 m) against 2 m voxels, so
+    the neighbor sets are stable within an iteration — this trades the
+    reference's per-trial neighbor search (`computeStepLengthMT` re-running
+    `computeDerivatives`, ndt_omp_impl.hpp:822-869) for one HBM gather per
+    iteration. Accuracy impact is validated in the odometry e2e tests."""
+    R = se3_matrix(pose[3:6])
+    pts = jnp.matmul(src_xyz, R.T, precision=_PREC) + pose[:3]
+    return vm.lookup7(grid, gspec, pts)
+
+
+def se3_matrix(rpy):
+    from xchu_slam_tpu.utils import se3
+    return se3.euler_to_matrix(rpy)
+
+
+def ndt_value_grad_hess(pose, src_xyz, src_mask, grid, gspec: vm.GridSpec,
+                        d1: float, d2: float, want_hess: bool = True,
+                        nb=None):
+    """(L, g [6], H [6,6]) — fused single pass over point×voxel pairs.
+
+    With want_hess=False, H is returned as zeros (used by line-search
+    evaluations that only need φ and ∇φ). With `nb`, a precomputed
+    `neighborhood(...)` is reused instead of re-gathering."""
+    s = -0.5 * d2
+    R, dR, d2R = _rot_and_derivs(pose[3:6])
+    q = src_xyz
+    pts = jnp.matmul(q, R.T, precision=_PREC) + pose[:3]
+
+    if nb is None:
+        nb = vm.lookup7(grid, gspec, pts)
+    mean_w, icov6, vvalid = nb                                 # [N,7,·]
+    delta = pts[:, None, :] - mean_w                           # [N,7,3]
+    Bd = linalg.sym6_matvec(icov6, delta)                      # [N,7,3]
+    x = jnp.sum(delta * Bd, -1)                                # [N,7]
+    use = vvalid & src_mask[:, None]
+    e = jnp.exp(s * jnp.maximum(x, 0.0))
+    c = jnp.where(use, d1 * e, 0.0)                            # [N,7]
+
+    L = jnp.sum(c)
+
+    # J = [I | D], D[:, :, k] = dR_k · q  → D as [N,3,3] (xyz, k)
+    D = jnp.einsum("kab,nb->nak", dR, q, precision=_PREC)                       # [N,3(a),3(k)]
+    # a6 = δᵀB·J: translation part = Bδ; rotation part = Bδ·D_k
+    a_rot = jnp.einsum("nva,nak->nvk", Bd, D, precision=_PREC)                  # [N,7,3]
+    a6 = jnp.concatenate([Bd, a_rot], -1)                      # [N,7,6]
+
+    # ∇L = Σ c·s·2·a6
+    g = 2.0 * s * jnp.einsum("nv,nvi->i", c, a6, precision=_PREC)
+
+    if not want_hess:
+        return L, g, jnp.zeros((6, 6), pose.dtype)
+
+    # H = Σ c·(4s²·a⊗a + 2s·(JᵀBJ + δᵀB·∂²δ))
+    H1 = 4.0 * s * s * jnp.einsum("nv,nvi,nvj->ij", c, a6, a6, precision=_PREC)
+
+    # JᵀBJ: BJ = [Bcols | B·D_k];  B·D_k via sym6_matvec per k
+    BD = jnp.stack([linalg.sym6_matvec(icov6, D[:, None, :, k].repeat(7, 1))
+                    for k in range(3)], -1)                    # [N,7,3,3]
+    Bmat = linalg.sym6_to_mat(icov6)                           # [N,7,3,3]
+    BJ = jnp.concatenate([Bmat, BD], -1)                       # [N,7,3,6]
+    Jfull = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), (q.shape[0], 3, 3)), D],
+        -1)                                                    # [N,3,6]
+    JtBJ = jnp.einsum("nv,nxi,nvxj->ij", c, Jfull, BJ, precision=_PREC)
+
+    # second-order angle term: bb_kl = Bδ · (d²R_kl · q)
+    E = jnp.einsum("mab,nb->nam", d2R, q, precision=_PREC)                      # [N,3,6(m)]
+    bb = jnp.einsum("nv,nva,nam->m", c, Bd, E, precision=_PREC)                 # [6]
+    Hrot = jnp.zeros((3, 3), pose.dtype).at[_PAIR_I, _PAIR_J].add(bb)
+    Hrot = Hrot + jnp.triu(Hrot, 1).T
+    Hgeom = jnp.zeros((6, 6), pose.dtype).at[3:, 3:].add(Hrot)
+
+    H = H1 + 2.0 * s * (JtBJ + Hgeom)
+    H = 0.5 * (H + H.T)
+    return L, g, H

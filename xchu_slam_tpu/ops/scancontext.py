@@ -121,6 +121,40 @@ class LoopCandidate(NamedTuple):
     found: jnp.ndarray   # bool
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def ring_key_topk(query_key, db_keys, db_mask, k: int = 3):
+    """Ring-key nearest candidates — the kd-tree prefilter analogue
+    (reference Scancontext.cpp:341-373). Provided for API parity and for
+    callers that want the two-stage search; `detect_loop` below searches the
+    whole DB exhaustively instead (strictly stronger on the MXU)."""
+    d = jnp.linalg.norm(db_keys - query_key[None, :], axis=-1)
+    d = jnp.where(db_mask, d, jnp.inf)
+    neg, idx = jax.lax.top_k(-d, k)
+    return idx, -neg
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def detect_loop_between_sessions(query, db, db_count, spec: ScSpec) -> LoopCandidate:
+    """Multi-session place recognition (reference
+    `detectLoopClosureIDBetweenSession`, Scancontext.cpp:267-328): the query
+    comes from a DIFFERENT session, so no recency exclusion applies — the
+    entire stored database is eligible."""
+    K = db.shape[0]
+    eligible = jnp.arange(K) < db_count
+    dist, shift = distance_all_rotations(query, db, eligible, spec)
+    best = jnp.argmin(dist)
+    best_dist = dist[best]
+    found = jnp.isfinite(best_dist) & (best_dist < spec.dist_thresh)
+    yaw = shift[best].astype(jnp.float32) * (2.0 * jnp.pi / spec.num_sector)
+    yaw = jnp.arctan2(jnp.sin(yaw), jnp.cos(yaw))
+    return LoopCandidate(
+        idx=jnp.where(found, best, -1).astype(jnp.int32),
+        dist=best_dist.astype(jnp.float32),
+        yaw=yaw,
+        found=found,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("spec",))
 def detect_loop(query, db, db_count, spec: ScSpec) -> LoopCandidate:
     """Find the best loop candidate for `query` among db[:db_count -

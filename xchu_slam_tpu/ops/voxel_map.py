@@ -61,9 +61,7 @@ def make_grid(spec: GridSpec, origin: jnp.ndarray) -> VoxelGrid:
     V = spec.num_voxels
     return VoxelGrid(
         origin=jnp.asarray(origin, jnp.float32),
-        n=jnp.zeros((V,), jnp.float32),
-        s1=jnp.zeros((V, 3), jnp.float32),
-        s2=jnp.zeros((V, 6), jnp.float32),
+        stats=jnp.zeros((V, 10), jnp.float32),
         mean=jnp.zeros((V, 3), jnp.float32),
         icov=jnp.zeros((V, 6), jnp.float32),
         valid=jnp.zeros((V,), bool),
@@ -106,17 +104,19 @@ def insert_points(grid: VoxelGrid, xyz: jnp.ndarray, mask: jnp.ndarray,
     corner = grid.origin + idx3.astype(jnp.float32) * spec.resolution
     local = xyz - corner
     l = jnp.where((inb & mask)[:, None], local, 0.0)
-    outer = jnp.stack(
-        [l[:, 0] * l[:, 0], l[:, 0] * l[:, 1], l[:, 0] * l[:, 2],
-         l[:, 1] * l[:, 1], l[:, 1] * l[:, 2], l[:, 2] * l[:, 2]],
+    row = jnp.concatenate(
+        [jnp.where(inb & mask, 1.0, 0.0)[:, None],
+         l,
+         jnp.stack([l[:, 0] * l[:, 0], l[:, 0] * l[:, 1], l[:, 0] * l[:, 2],
+                    l[:, 1] * l[:, 1], l[:, 1] * l[:, 2], l[:, 2] * l[:, 2]],
+                   -1)],
         -1,
-    )
-    ones = jnp.where(inb & mask, 1.0, 0.0)
+    )  # [N,10] — one scatter-add updates all accumulators
     V = spec.num_voxels
-    n = jnp.concatenate([grid.n, jnp.zeros((1,), grid.n.dtype)]).at[flat].add(ones)[:V]
-    s1 = jnp.concatenate([grid.s1, jnp.zeros((1, 3), grid.s1.dtype)]).at[flat].add(l)[:V]
-    s2 = jnp.concatenate([grid.s2, jnp.zeros((1, 6), grid.s2.dtype)]).at[flat].add(outer)[:V]
-    return grid._replace(n=n, s1=s1, s2=s2)
+    stats = jnp.concatenate(
+        [grid.stats, jnp.zeros((1, 10), grid.stats.dtype)]
+    ).at[flat].add(row)[:V]
+    return grid._replace(stats=stats)
 
 
 @functools.partial(jax.jit, static_argnames=("spec",), donate_argnames=("grid",))
@@ -173,9 +173,7 @@ def recentre(grid: VoxelGrid, new_centre: jnp.ndarray, spec: GridSpec) -> VoxelG
 
     return VoxelGrid(
         origin=new_origin,
-        n=roll3(grid.n),
-        s1=roll3(grid.s1),
-        s2=roll3(grid.s2),
+        stats=roll3(grid.stats),
         mean=roll3(grid.mean),
         icov=roll3(grid.icov),
         valid=roll3(grid.valid),
@@ -184,9 +182,13 @@ def recentre(grid: VoxelGrid, new_centre: jnp.ndarray, spec: GridSpec) -> VoxelG
 
 # DIRECT7 face-neighbor offsets (reference getNeighborhoodAtPoint7,
 # voxel_grid_covariance_omp_impl.hpp:419-432): centre + ±x ±y ±z.
-_OFFSETS7 = jnp.array(
+# numpy, not jnp: module import must never mint tracers if it happens
+# inside a trace
+import numpy as _np  # noqa: E402
+
+_OFFSETS7 = _np.array(
     [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
-    jnp.int32,
+    _np.int32,
 )
 
 

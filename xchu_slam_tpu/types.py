@@ -33,27 +33,31 @@ class Cloud(NamedTuple):
 
 
 def make_cloud(xyz, intensity=None, mask=None, capacity: int | None = None) -> Cloud:
-    """Build a Cloud from (possibly ragged) arrays, padding/truncating to capacity."""
-    xyz = jnp.asarray(xyz, jnp.float32)
+    """Build a Cloud from (possibly ragged) arrays, padding/truncating to
+    capacity. Staging (pad/mask) happens in NumPy on the host: one transfer
+    per array instead of a chain of tiny device ops."""
+    import numpy as np
+
+    if isinstance(xyz, jnp.ndarray) and capacity in (None, xyz.shape[0]) \
+            and mask is not None and intensity is not None:
+        return Cloud(xyz=xyz, intensity=intensity, mask=mask)
+
+    xyz = np.asarray(xyz, np.float32)
     n = xyz.shape[0]
-    if intensity is None:
-        intensity = jnp.zeros((n,), jnp.float32)
-    else:
-        intensity = jnp.asarray(intensity, jnp.float32)
-    if mask is None:
-        mask = jnp.ones((n,), bool)
-    else:
-        mask = jnp.asarray(mask, bool)
+    intensity = (np.zeros((n,), np.float32) if intensity is None
+                 else np.asarray(intensity, np.float32))
+    mask = (np.ones((n,), bool) if mask is None else np.asarray(mask, bool))
     if capacity is not None and capacity != n:
         if n > capacity:
             xyz, intensity, mask = xyz[:capacity], intensity[:capacity], mask[:capacity]
         else:
             pad = capacity - n
-            xyz = jnp.pad(xyz, ((0, pad), (0, 0)))
-            intensity = jnp.pad(intensity, (0, pad))
-            mask = jnp.pad(mask, (0, pad))
-    xyz = jnp.where(mask[:, None], xyz, 0.0)
-    return Cloud(xyz=xyz, intensity=intensity, mask=mask)
+            xyz = np.pad(xyz, ((0, pad), (0, 0)))
+            intensity = np.pad(intensity, (0, pad))
+            mask = np.pad(mask, (0, pad))
+    xyz = np.where(mask[:, None], xyz, 0.0)
+    return Cloud(xyz=jnp.asarray(xyz), intensity=jnp.asarray(intensity),
+                 mask=jnp.asarray(mask))
 
 
 class VoxelGrid(NamedTuple):
@@ -64,21 +68,31 @@ class VoxelGrid(NamedTuple):
     direct-addressed dense tensor anchored near the vehicle.
 
     origin: float32[3]    world position of voxel (0,0,0) corner
-    n:      float32[V]    per-voxel point counts (V = gx*gy*gz)
-    s1:     float32[V,3]  Σx
-    s2:     float32[V,6]  Σxxᵀ packed upper-triangular (xx,xy,xz,yy,yz,zz)
+    stats:  float32[V,10] packed accumulators per voxel (V = gx*gy*gz):
+                          [n, Σx (3), Σxxᵀ upper-tri (6)] — one array so scan
+                          insertion is a single scatter-add
     mean:   float32[V,3]  finalized mean (valid voxels only)
     icov:   float32[V,6]  finalized inverse covariance, packed upper-tri
     valid:  bool[V]       n ≥ min_points_per_voxel
     """
 
     origin: jnp.ndarray
-    n: jnp.ndarray
-    s1: jnp.ndarray
-    s2: jnp.ndarray
+    stats: jnp.ndarray
     mean: jnp.ndarray
     icov: jnp.ndarray
     valid: jnp.ndarray
+
+    @property
+    def n(self) -> jnp.ndarray:
+        return self.stats[:, 0]
+
+    @property
+    def s1(self) -> jnp.ndarray:
+        return self.stats[:, 1:4]
+
+    @property
+    def s2(self) -> jnp.ndarray:
+        return self.stats[:, 4:10]
 
 
 class KeyframeStore(NamedTuple):
