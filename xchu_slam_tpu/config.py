@@ -123,6 +123,9 @@ class LoopConfig:
     icp_max_iterations: int = 100
     icp_trans_eps: float = 1e-6
     icp_fitness_thresh: float = 0.3
+    max_correction: float = 10.0    # reject if ICP moves the relative pose
+    # further than this from the odometric initial guess (divergence guard;
+    # fitness alone is density-dependent)
     detect_period: int = 2          # run detection every N keyframes (2 Hz analogue)
     submap_points: int = 16384      # fixed submap cloud capacity for ICP
     async_detect: bool = False      # run detect+verify on a worker thread

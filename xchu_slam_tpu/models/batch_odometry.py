@@ -1,0 +1,40 @@
+"""Batched multi-sequence odometry — vmap over independent SLAM sessions.
+
+The reference processes exactly one LiDAR stream per machine (three ROS
+processes, SURVEY.md §1). On a TPU, the odometry step is latency-bound at
+batch 1; `vmap`ping the ENTIRE jitted scan step (NDT Newton loop, localmap
+scatter updates, grid recentring) over a leading sequence axis converts that
+latency into throughput — one chip maps B independent sequences
+simultaneously (fleet/offline-mapping workloads; SURVEY.md §7 'parallelizing
+the other axes').
+
+All control flow vectorizes: `lax.while_loop` under vmap runs until every
+batch member converges (masked updates), `lax.cond` becomes masked `select`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from xchu_slam_tpu.models import odometry
+
+
+def batch_init(spec: odometry.OdomSpec, init_poses, xyz, mask):
+    """init_poses [B,6], xyz [B,N,3], mask [B,N] → batched OdomState."""
+    return jax.vmap(lambda p, x, m: odometry.init_state(spec, p, x, m))(
+        init_poses, xyz, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",), donate_argnames=("states",))
+def batch_step(states, xyz, mask, spec: odometry.OdomSpec):
+    """One odometry step for every sequence in the batch.
+
+    states: batched OdomState (leading axis B on every leaf);
+    xyz [B,N,3]; mask [B,N]. Returns (new_states, batched OdomOutput)."""
+    def one(state, x, m):
+        return odometry.step(state, x, m, spec)
+
+    return jax.vmap(one)(states, xyz, mask)

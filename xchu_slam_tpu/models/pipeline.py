@@ -35,6 +35,12 @@ from xchu_slam_tpu.ops.filter import filter_scan
 from xchu_slam_tpu.types import Cloud, make_cloud
 from xchu_slam_tpu.utils import se3
 
+# pose-matrix products must not drop to bf16 on the TPU MXU: at ±hundreds of
+# metres of translation that is decimetre-scale error PER COMPOSE (this bit:
+# plain matmul silently corrupted every between-factor on hardware while CPU
+# tests stayed exact)
+_PREC = jax.lax.Precision.HIGHEST
+
 
 class KfDb(NamedTuple):
     """Fixed-capacity keyframe database (device arrays)."""
@@ -122,7 +128,7 @@ def build_submap(db: KfDb, centre_idx, frame_idx, half_width: int, out_n: int):
     ksc = jnp.clip(ks, 0, K - 1)
     T_w = se3.pose_to_matrix(db.opt_poses[ksc])            # [W,4,4]
     T_i_inv = se3.inverse(se3.pose_to_matrix(db.opt_poses[frame_idx]))
-    T_rel = jnp.einsum("ab,wbc->wac", T_i_inv, T_w)
+    T_rel = jnp.einsum("ab,wbc->wac", T_i_inv, T_w, precision=_PREC)
     pts = se3.transform_points(T_rel, db.clouds[ksc])       # [W,P,3]
     mask = db.cloud_mask[ksc] & ok[:, None]
     flat_pts = pts.reshape(-1, 3)
@@ -178,12 +184,17 @@ class SlamPipeline:
         if cfg.loop.async_detect:
             from xchu_slam_tpu.models.async_worker import AsyncLoopWorker
             self._worker = AsyncLoopWorker(self)
+        # deferred-sync mode: process scan k's host-side bookkeeping while the
+        # device computes scan k+1 (one-scan pipelining; results identical,
+        # just delivered one call later)
+        self.defer_sync = False
+        self._pending = None
         # diagnostics
         self.odom_log: list[dict] = []
 
     # ------------------------------------------------------------------ #
     def process_scan(self, xyz: np.ndarray, intensity: np.ndarray | None,
-                     stamp: float, gps_alt: float | None = None) -> dict:
+                     stamp: float, gps_alt: float | None = None) -> dict | None:
         cfg = self.cfg
         cloud = make_cloud(xyz, intensity, capacity=cfg.filter.max_raw_points)
 
@@ -200,6 +211,18 @@ class SlamPipeline:
 
         self.odom_state, out, filt = fused_filter_step(
             self.odom_state, cloud, cfg.filter, self.ospec)
+        if self.defer_sync:
+            # dispatch done (async); consume the PREVIOUS scan's results so
+            # the host never blocks on the scan just submitted
+            result = None
+            if self._pending is not None:
+                result = self._consume(*self._pending)
+            self._pending = (out, filt, stamp, gps_alt)
+            return result
+        return self._consume(out, filt, stamp, gps_alt)
+
+    def _consume(self, out, filt, stamp, gps_alt) -> dict:
+        cfg = self.cfg
         ground_res = self._maybe_ground(filt)
         pose = np.asarray(out.pose)
         step_d = float(np.linalg.norm(pose[:2] - self._last_odom_pose[:2]))
@@ -259,8 +282,10 @@ class SlamPipeline:
         Z = jnp.matmul(
             se3.inverse(se3.pose_to_matrix(jnp.asarray(self._last_kf_odom))),
             se3.pose_to_matrix(jnp.asarray(odom_pose)),
+            precision=_PREC,
         )
-        return np.asarray(se3.matrix_to_pose(jnp.matmul(T_prev_opt, Z)))
+        return np.asarray(se3.matrix_to_pose(
+            jnp.matmul(T_prev_opt, Z, precision=_PREC)))
 
     def _add_kf(self, pose, stamp, filt: Cloud, opt_pose, gps_alt=None):
         cxyz, cmask, src_idx = subsample_cloud(filt.xyz, filt.mask, self.kf_points)
@@ -281,6 +306,7 @@ class SlamPipeline:
             Z = jnp.matmul(
                 se3.inverse(se3.pose_to_matrix(jnp.asarray(self._last_kf_odom))),
                 se3.pose_to_matrix(jnp.asarray(pose, jnp.float32)),
+                precision=_PREC,
             )
             self.graph = self.graph._replace(
                 between_T=self.graph.between_T.at[k].set(Z),
@@ -337,11 +363,18 @@ class SlamPipeline:
         T_init = jnp.matmul(
             se3.inverse(se3.pose_to_matrix(db.opt_poses[cand])),
             se3.pose_to_matrix(db.opt_poses[k]),
+            precision=_PREC,
         )
         res = icp.align(db.clouds[k], db.cloud_mask[k],
                         tgt_xyz, tgt_mask, T_init, self.icpspec)
         fitness = float(res.fitness)
         if not (fitness <= cfg.loop.icp_fitness_thresh):
+            return None
+        # divergence guard: the odometric guess bounds how far a genuine
+        # correction can be (fitness alone scales with cloud density)
+        corr = float(np.linalg.norm(np.asarray(res.T)[:3, 3]
+                                    - np.asarray(T_init)[:3, 3]))
+        if corr > cfg.loop.max_correction:
             return None
         from xchu_slam_tpu.models.async_worker import VerifiedLoop
         return VerifiedLoop(i=cand, j=k, T=res.T, fitness=fitness,
@@ -380,6 +413,9 @@ class SlamPipeline:
     def finalize(self):
         """Final PGO solve (the reference's shutdown ISAM2Update + SaveMap
         trigger, pgo_node.cpp:487-495)."""
+        if self._pending is not None:
+            self._consume(*self._pending)
+            self._pending = None
         if self._worker is not None:
             # stop FIRST (join waits for the in-flight verification to finish
             # and deposit its result), then drain — the other order loses the

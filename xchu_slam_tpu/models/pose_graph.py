@@ -161,8 +161,10 @@ def _block_jacobi(xi0, Ts0, g, spec, robust_w):
                   1.0, 0.0)[:, None, None]
     Winfo = jnp.diag(jnp.array([spec.odom_info_t] * 3 + [spec.odom_info_r] * 3,
                                jnp.float32))
-    Hi = jnp.einsum("fab,bc,fcd->fad", Ji.transpose(0, 2, 1), Winfo, Ji) * w
-    Hj = jnp.einsum("fab,bc,fcd->fad", Jj.transpose(0, 2, 1), Winfo, Jj) * w
+    Hi = jnp.einsum("fab,bc,fcd->fad", Ji.transpose(0, 2, 1), Winfo, Ji,
+                    precision=_PREC) * w
+    Hj = jnp.einsum("fab,bc,fcd->fad", Jj.transpose(0, 2, 1), Winfo, Jj,
+                    precision=_PREC) * w
 
     blocks = jnp.zeros((K, 6, 6), jnp.float32)
     blocks = blocks.at[ks - 1].add(Hi)
@@ -186,8 +188,10 @@ def _block_jacobi(xi0, Ts0, g, spec, robust_w):
     L = g.loop_i.shape[0]
     Jli, Jlj = jax.vmap(loop_blocks)(jnp.arange(L))
     wl = (jnp.where(g.loop_mask, g.loop_info, 0.0) * robust_w)[:, None, None]
-    Hli = jnp.einsum("fab,fcd->fad", Jli.transpose(0, 2, 1), Jli) * wl
-    Hlj = jnp.einsum("fab,fcd->fad", Jlj.transpose(0, 2, 1), Jlj) * wl
+    Hli = jnp.einsum("fab,fcd->fad", Jli.transpose(0, 2, 1), Jli,
+                     precision=_PREC) * wl
+    Hlj = jnp.einsum("fab,fcd->fad", Jlj.transpose(0, 2, 1), Jlj,
+                     precision=_PREC) * wl
     blocks = blocks.at[g.loop_i].add(jnp.where(g.loop_mask[:, None, None], Hli, 0.0))
     blocks = blocks.at[g.loop_j].add(jnp.where(g.loop_mask[:, None, None], Hlj, 0.0))
 

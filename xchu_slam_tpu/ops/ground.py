@@ -118,7 +118,7 @@ def detect_plane(xyz, mask, spec: GroundSpec, key=None) -> GroundResult:
         ln = jnp.linalg.norm(nrm)
         nrm = nrm / jnp.maximum(ln, 1e-9)
         d = -jnp.dot(nrm, a)
-        dist = jnp.abs(xyz @ nrm + d)
+        dist = jnp.abs(jnp.sum(xyz * nrm, -1) + d)
         score = jnp.sum(jnp.where(cand, dist < spec.ransac_thresh, False))
         return jnp.where(ln > 1e-9, score, -1), jnp.concatenate([nrm, d[None]])
 
@@ -128,7 +128,7 @@ def detect_plane(xyz, mask, spec: GroundSpec, key=None) -> GroundResult:
     coeffs = planes[best]
 
     # refine on inliers: centroid + smallest-eigvec of inlier scatter
-    dist = jnp.abs(xyz @ coeffs[:3] + coeffs[3])
+    dist = jnp.abs(jnp.sum(xyz * coeffs[:3], -1) + coeffs[3])
     inl = cand & (dist < spec.ransac_thresh)
     w = inl.astype(jnp.float32)
     wsum = jnp.maximum(jnp.sum(w), 1.0)
@@ -146,7 +146,7 @@ def detect_plane(xyz, mask, spec: GroundSpec, key=None) -> GroundResult:
     enough = (n_cand >= 3) & (scores[best] > 0)
     valid = vert_ok & enough
 
-    dist = jnp.abs(xyz @ coeffs[:3] + coeffs[3])
+    dist = jnp.abs(jnp.sum(xyz * coeffs[:3], -1) + coeffs[3])
     ground = cand & (dist < spec.ransac_thresh) & valid
     return GroundResult(coeffs=coeffs, valid=valid, ground_mask=ground,
                         candidate_mask=cand)

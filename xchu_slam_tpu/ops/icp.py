@@ -64,7 +64,12 @@ def _nearest(src, src_mask, tgt, tgt_mask, chunk):
               - 2.0 * jnp.matmul(rows, tgt.T, precision=jax.lax.Precision.DEFAULT))
         d2 = jnp.where(tgt_mask[None, :], d2, big)
         j = jnp.argmin(d2, axis=1)
-        return tgt[j], jnp.maximum(jnp.take_along_axis(d2, j[:, None], 1)[:, 0], 0.0)
+        nn = tgt[j]
+        # exact distances recomputed elementwise: the bf16 MXU pass is fine
+        # for ARGMIN selection but not for the fitness statistic itself
+        d2_exact = jnp.sum((rows - nn) ** 2, -1)
+        d2_exact = jnp.where(tgt_mask[j], d2_exact, big)
+        return nn, d2_exact
 
     starts = jnp.arange(0, n, chunk)
     nn, d2 = jax.lax.map(body, starts)

@@ -129,21 +129,35 @@ def render_scan(
 
     Points within the range annulus are sampled with ~1/r weighting (denser
     near the sensor, like a real spinning LiDAR)."""
-    from xchu_slam_tpu.utils import se3  # numpy-compatible math via jnp arrays
-    import jax.numpy as jnp
-
-    T = np.asarray(se3.pose_to_matrix(jnp.asarray(pose6, jnp.float32)))
-    R, t = T[:3, :3], T[:3, 3]
+    # pure NumPy (no device round trip: the simulator must not contend with
+    # the SLAM engine for the accelerator)
+    r_, p_, y_ = float(pose6[3]), float(pose6[4]), float(pose6[5])
+    cr, sr = np.cos(r_), np.sin(r_)
+    cp, sp = np.cos(p_), np.sin(p_)
+    cy, sy = np.cos(y_), np.sin(y_)
+    R = np.array([
+        [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+        [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+        [-sp, cp * sr, cp * cr],
+    ], np.float32)
+    t = np.asarray(pose6[:3], np.float32)
     rel = world.xyz - t
     r = np.linalg.norm(rel[:, :2], axis=1)
     sel = (r > min_range) & (r < max_range)
     idx = np.nonzero(sel)[0]
     if len(idx) == 0:
         return (np.zeros((0, 3), np.float32), np.zeros(0, np.float32))
-    w = 1.0 / np.maximum(r[idx], 1.0)
-    w /= w.sum()
-    take = rng.choice(idx, size=min(n_points, len(idx)), replace=False,
-                      p=w if len(idx) > n_points else None)
+    if len(idx) <= n_points:
+        take = idx
+    else:
+        # ~1/r acceptance sampling (O(M), no weighted choice: that path
+        # dominates host time at full-sequence scale)
+        w = 1.0 / np.maximum(r[idx], 1.0)
+        c = n_points / w.sum()
+        keep = rng.random(len(idx)) < np.minimum(1.0, 1.15 * c * w)
+        take = idx[keep]
+        if len(take) > n_points:
+            take = take[rng.permutation(len(take))[:n_points]]
     pts_w = world.xyz[take] + rng.normal(0, noise, (len(take), 3))
     body = (pts_w - t) @ R  # R⁻¹ = Rᵀ applied on the right
     return body.astype(np.float32), world.intensity[take]
