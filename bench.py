@@ -91,12 +91,30 @@ def main():
         "loop.icp_fitness_thresh": 1.5,  # synthetic clouds are ~10x sparser than KITTI
         "loop.submap_half_width": 10,
     })
-    pipe = SlamPipeline(cfg, kf_points=4096)
-    pipe.defer_sync = True  # overlap host bookkeeping with device compute
     n_full = 240  # perimeter(30) ≈ 211 m → wraps ~30 m past the start
     gt2 = sim.loop_trajectory(n_scans=n_full, radius=30.0, speed=1.0)
     rng2 = np.random.default_rng(11)
     full_scans = [sim.render_scan(world, p, rng2, n_points=24_000) for p in gt2]
+    # warm the compile cache on a throwaway pipeline (same static shapes),
+    # incl. one forced detection pass, so the timed run is steady-state
+    warm = SlamPipeline(cfg, kf_points=4096)
+    for i in range(8):
+        warm.process_scan(*full_scans[i], stamp=0.1 * i)
+    try:
+        warm.detect_and_verify_snapshot(int(warm.db.count) - 1, 0.7)
+    except Exception:
+        pass
+    from xchu_slam_tpu.models import pose_graph as _pg
+    from xchu_slam_tpu.models.pipeline import build_submap as _bs
+    from xchu_slam_tpu.ops import icp as _icp
+    _pg.solve(warm.db.opt_poses, warm.graph, warm.gspec).block_until_ready()
+    _tx, _tm, _ = _bs(warm.db, jnp.int32(0), jnp.int32(0),
+                      cfg.loop.submap_half_width, cfg.loop.submap_points)
+    _icp.align(warm.db.clouds[0], warm.db.cloud_mask[0], _tx, _tm,
+               jnp.eye(4), warm.icpspec).T.block_until_ready()
+
+    pipe = SlamPipeline(cfg, kf_points=4096)
+    pipe.defer_sync = True  # overlap host bookkeeping with device compute
     t1 = time.perf_counter()
     for i, (xyz, inten) in enumerate(full_scans):
         pipe.process_scan(xyz, inten, stamp=0.1 * i)

@@ -93,3 +93,32 @@ def test_sharded_pgo_grad_matches(rng):
     # absolute differences on ~1e4-scale intermediates; that is expected
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-3, atol=0.5)
+
+
+@needs_devices
+def test_sharded_pgo_solve_matches_single(rng):
+    """Factor-sharded full solve ≈ single-device solve on a loopy chain."""
+    from tests.test_pose_graph import chain_graph, SPEC, SOFT
+    from xchu_slam_tpu.utils import se3 as se3u
+
+    gt, poses, g, n = chain_graph(rng, 60, drift_t=0.05)
+    gtT = np.asarray(se3u.pose_to_matrix(jnp.asarray(gt)))
+    Z = np.linalg.inv(gtT[0]) @ gtT[n - 1]
+    li = np.zeros(SPEC.max_loops, np.int32)
+    lj = np.zeros(SPEC.max_loops, np.int32)
+    lT = np.tile(np.eye(4, dtype=np.float32), (SPEC.max_loops, 1, 1))
+    linfo = np.zeros(SPEC.max_loops, np.float32)
+    lm = np.zeros(SPEC.max_loops, bool)
+    li[0], lj[0], lT[0], linfo[0], lm[0] = 0, n - 1, Z, 10.0, True
+    g = g._replace(loop_i=jnp.asarray(li), loop_j=jnp.asarray(lj),
+                   loop_T=jnp.asarray(lT), loop_info=jnp.asarray(linfo),
+                   loop_mask=jnp.asarray(lm))
+
+    ref = np.asarray(pg.solve(jnp.asarray(poses), g, SOFT))
+    mesh = sharded.make_mesh(8)
+    got = np.asarray(sharded.sharded_pgo_solve(mesh, jnp.asarray(poses), g, SOFT))
+    np.testing.assert_allclose(got[:n, :3], ref[:n, :3], atol=0.05)
+    # and it actually closes the loop (same check as the single-device test)
+    drift_after = np.linalg.norm(got[n - 1, :3] - gt[n - 1, :3])
+    drift_before = np.linalg.norm(poses[n - 1, :3] - gt[n - 1, :3])
+    assert drift_after < 0.3 * drift_before

@@ -10,6 +10,13 @@ the other axes').
 
 All control flow vectorizes: `lax.while_loop` under vmap runs until every
 batch member converges (masked updates), `lax.cond` becomes masked `select`.
+
+Measured on TPU v5e (80×80×24 grid, 16k pts): B=1 14 ms/step (73 scans/s);
+B=8 193 ms/step (41 scans/s aggregate) — the single-sequence step already
+saturates the chip (vmap lockstep also runs every member to the max Newton
+iteration count and executes both cond branches), so batching trades latency
+for NO throughput on this hardware. It becomes profitable on larger chips or
+smaller grids; provided for the multi-session capability either way.
 """
 
 from __future__ import annotations

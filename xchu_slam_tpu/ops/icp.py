@@ -22,6 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from xchu_slam_tpu.ops.pallas import nn_kernel
 from xchu_slam_tpu.utils import se3
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -52,6 +53,12 @@ class IcpResult(NamedTuple):
 def _nearest(src, src_mask, tgt, tgt_mask, chunk):
     """For each source point: (nearest target point [N,3], sq dist [N])."""
     n = src.shape[0]
+    if (jax.default_backend() == "tpu"
+            and n % nn_kernel.SRC_TILE == 0
+            and tgt.shape[0] % nn_kernel.TGT_TILE == 0):
+        # fused VMEM-resident kernel: distance tiles never touch HBM
+        idx, d2 = nn_kernel.nearest_neighbor(src, tgt, tgt_mask)
+        return tgt[idx], d2
     chunk = min(chunk, n)
     if n % chunk != 0:
         chunk = math.gcd(n, chunk)
