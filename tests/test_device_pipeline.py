@@ -1,0 +1,156 @@
+"""models.device_pipeline: the fully on-device SLAM step must reproduce the
+host-orchestrated pipeline exactly (same programs, device control flow), and
+its loop-verify/apply branch must fire on a constructed revisit."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xchu_slam_tpu.config import default_config
+from xchu_slam_tpu.models import device_pipeline as dp
+from xchu_slam_tpu.models.pipeline import SlamPipeline
+from xchu_slam_tpu.types import make_cloud
+from xchu_slam_tpu.utils import se3, sim
+
+
+def _cfg(**over):
+    base = {
+        "filter.max_raw_points": 4096,
+        "filter.max_points": 2048,
+        # sim scans are ~100× sparser than KITTI; the radius outlier filter
+        # at KITTI density (0.8 m, ≥5 neighbors) would empty them
+        "filter.outlier_method": "none",
+        "ndt.grid_x": 48, "ndt.grid_y": 48, "ndt.grid_z": 16,
+        "pgo.max_keyframes": 64, "pgo.max_loops": 8,
+        "pgo.odom_noise_trans": 1e-3, "pgo.odom_noise_rot": 1e-3,
+        "loop.icp_fitness_thresh": 1.5,
+        "loop.submap_half_width": 4,
+        "loop.submap_points": 2048,
+    }
+    base.update(over)
+    return default_config().override(base)
+
+
+@pytest.fixture(scope="module")
+def sim_scans():
+    world = sim.make_world(3, extent=60.0, ground_pts=30000)
+    gt = sim.loop_trajectory(n_scans=100, radius=12.0, speed=1.0)
+    rng = np.random.default_rng(5)
+    return [sim.render_scan(world, p, rng, n_points=3000) for p in gt]
+
+
+def test_matches_host_pipeline(sim_scans):
+    cfg = _cfg()
+    host = SlamPipeline(cfg, kf_points=1024)
+    dev = dp.DeviceSlamPipeline(cfg, kf_points=1024, log_capacity=128)
+    for i, (xyz, inten) in enumerate(sim_scans):
+        host.process_scan(xyz, inten, stamp=0.1 * i)
+        cl = make_cloud(xyz, inten, capacity=cfg.filter.max_raw_points)
+        dev.process_scan(cl, stamp=0.1 * i)
+    host.finalize()
+    dev.finalize()
+
+    assert dev.kf_count == host.kf_count
+    assert dev.kf_count > 3  # real keyframes, not two trivially frozen runs
+    assert dev.scan_count == host.scan_count == len(sim_scans)
+    hs, ho, hopt = host.keyframe_trajectory()
+    ds, do, dopt = dev.keyframe_trajectory()
+    np.testing.assert_allclose(ds, hs, atol=1e-6)
+    # odometry is the identical jitted program → bit-identical poses
+    np.testing.assert_array_equal(do, ho)
+    np.testing.assert_allclose(dopt, hopt, atol=1e-3)
+    # per-scan log covers every scan and flags the same keyframes
+    kf_flags = [r["keyframe"] for r in dev.odom_log]
+    assert sum(kf_flags) == dev.kf_count
+    # host pipeline does not log the first (seed) scan; device logs all
+    np.testing.assert_allclose(
+        dev.odometry_trajectory()[1:],
+        host.odometry_trajectory(), atol=1e-6)
+
+
+def test_keyframe_capacity_respected(sim_scans):
+    cfg = _cfg(**{"pgo.max_keyframes": 8})
+    dev = dp.DeviceSlamPipeline(cfg, kf_points=1024, log_capacity=128)
+    for i, (xyz, inten) in enumerate(sim_scans[:60]):
+        cl = make_cloud(xyz, inten, capacity=cfg.filter.max_raw_points)
+        dev.process_scan(cl, stamp=0.1 * i)
+    dev.finalize()
+    assert dev.kf_count == 8  # gated on device, no overflow writes
+
+
+def _planted_state(spec, cfg, rng):
+    """DevState whose keyframe DB contains a guaranteed revisit: keyframe 0
+    and the upcoming keyframe share the same structured cloud."""
+    from xchu_slam_tpu.models.pipeline import empty_db
+    from xchu_slam_tpu.models import pose_graph as pg
+
+    # structured scene: two walls + ground (enough for ICP to lock on)
+    n = 2048
+    g = np.c_[rng.uniform(-10, 10, (n // 2, 2)),
+              rng.normal(0, 0.02, n // 2)]
+    w1 = np.c_[rng.uniform(-10, 10, n // 4), np.full(n // 4, 6.0),
+               rng.uniform(0, 3, n // 4)]
+    w2 = np.c_[np.full(n - n // 2 - n // 4, -8.0),
+               rng.uniform(-10, 10, n - n // 2 - n // 4),
+               rng.uniform(0, 3, n - n // 2 - n // 4)]
+    cloud = np.vstack([g, w1, w2]).astype(np.float32)
+
+    db = empty_db(cfg, 2048)
+    K = 12
+    poses = np.zeros((K, 6), np.float32)
+    poses[:, 0] = np.arange(K) * 2.0   # straight line, 2 m apart
+    for k in range(K):
+        db = db._replace(
+            poses=db.poses.at[k].set(jnp.asarray(poses[k])),
+            opt_poses=db.opt_poses.at[k].set(jnp.asarray(poses[k])),
+            stamps=db.stamps.at[k].set(0.5 * k),
+            travel=db.travel.at[k].set(2.0 * k),
+            clouds=db.clouds.at[k].set(jnp.asarray(cloud)),
+            cloud_mask=db.cloud_mask.at[k].set(jnp.ones(2048, bool)),
+            count=jnp.int32(k + 1),
+        )
+    graph = pg.empty_graph(spec.gspec)
+    Z = np.eye(4, dtype=np.float32)
+    Z[0, 3] = 2.0
+    graph = graph._replace(
+        between_T=jnp.asarray(np.tile(Z, (spec.gspec.max_keyframes, 1, 1))),
+        kf_mask=graph.kf_mask.at[:K].set(True),
+    )
+    state = dp.DevState(
+        odom=None,  # unused by the verify path
+        db=db, graph=graph,
+        kf_accum=jnp.float32(0.0), travel=jnp.float32(2.0 * K),
+        last_kf_odom=jnp.asarray(poses[-1]),
+        loop_count=jnp.int32(0), scan_count=jnp.int32(K),
+        log=jnp.zeros((spec.log_capacity, 11), jnp.float32),
+    )
+    return state, poses
+
+
+def test_verify_and_apply_accepts_true_loop():
+    cfg = _cfg(**{"loop.max_correction": 5.0})
+    spec = dp.spec_from_config(cfg, kf_points=2048, log_capacity=64)
+    rng = np.random.default_rng(0)
+    state, poses = _planted_state(spec, cfg, rng)
+    k = jnp.int32(11)
+    # candidate 10 is 2 m away with an identical cloud → ICP converges to the
+    # true 2 m offset; fitness ≈ 0
+    out = dp._verify_and_apply(state, k, jnp.int32(10), spec)
+    assert int(out.loop_count) == 1
+    assert int(out.graph.loop_i[0]) == 10 and int(out.graph.loop_j[0]) == 11
+    T = np.asarray(out.graph.loop_T[0])
+    assert abs(T[0, 3] - 2.0) < 0.3  # recovered the relative translation
+    assert bool(out.graph.loop_mask[0])
+
+
+def test_verify_and_apply_rejects_far_candidate():
+    cfg = _cfg(**{"loop.max_loop_dist": 3.0})
+    spec = dp.spec_from_config(cfg, kf_points=2048, log_capacity=64)
+    rng = np.random.default_rng(0)
+    state, _ = _planted_state(spec, cfg, rng)
+    # candidate 0 is 22 m away > max_loop_dist → gated out before ICP
+    out = dp._verify_and_apply(state, jnp.int32(11), jnp.int32(0), spec)
+    assert int(out.loop_count) == 0
+    # and cand = -1 (no retrieval hit) is a no-op
+    out2 = dp._verify_and_apply(state, jnp.int32(11), jnp.int32(-1), spec)
+    assert int(out2.loop_count) == 0

@@ -68,7 +68,7 @@ def cmd_run_sim(args):
         with timers.time("slam"):
             out = pipe.process_scan(xyz, inten, stamp=0.1 * i)
         if args.verbose and i % 25 == 0:
-            print(f"scan {i}: kf={int(pipe.db.count)} loops={pipe.loop_count}",
+            print(f"scan {i}: kf={pipe.kf_count} loops={pipe.loop_count}",
                   file=sys.stderr)
         if args.checkpoint_every and i and i % args.checkpoint_every == 0:
             from xchu_slam_tpu.utils.checkpoint import save_checkpoint
@@ -86,7 +86,7 @@ def cmd_run_sim(args):
     ate = metrics.ape_rmse(kf_opt[:, :3], gt_rel[idx], align=False)
     summary = {
         "scans": args.scans,
-        "keyframes": int(pipe.db.count),
+        "keyframes": pipe.kf_count,
         "loops": pipe.loop_count,
         "ate_rmse_m": round(float(ate), 4),
         "scans_per_sec": round(args.scans / wall, 2),
@@ -105,15 +105,30 @@ def cmd_run_kitti(args):
 
     cfg = _apply_overrides(default_config(), args.set)
     pipe = SlamPipeline(cfg, kf_points=4096)
+    pipe.defer_sync = not args.no_defer_sync
     files = kitti.list_velodyne_dir(args.velodyne_dir)
     if args.max_scans:
         files = files[:args.max_scans]
+
+    # streaming ingest: staging threads read each .bin (native C++ loader when
+    # available) and transfer it to the device while the previous scan computes
+    from xchu_slam_tpu.io.prefetch import DeviceScanPrefetcher, LazyScans
+
+    from xchu_slam_tpu.io import native_loader
+
+    def _read(path):
+        xyz, inten, n = native_loader.read_velodyne(
+            path, capacity=cfg.filter.max_raw_points)
+        return xyz[:n], inten[:n]
+
+    pf = DeviceScanPrefetcher(LazyScans(files, _read),
+                              capacity=cfg.filter.max_raw_points,
+                              depth=6, threads=3)
     t0 = time.perf_counter()
-    for i, f in enumerate(files):
-        pts = kitti.read_velodyne_bin(f)
-        pipe.process_scan(pts[:, :3], pts[:, 3], stamp=0.1 * i)
+    for i, cloud in enumerate(pf):
+        pipe.process_scan(cloud, None, stamp=0.1 * i)
         if args.verbose and i % 100 == 0:
-            print(f"scan {i}/{len(files)}: kf={int(pipe.db.count)} "
+            print(f"scan {i}/{len(files)}: kf={pipe.kf_count} "
                   f"loops={pipe.loop_count}", file=sys.stderr)
     pipe.finalize()
     wall = time.perf_counter() - t0
@@ -121,7 +136,7 @@ def cmd_run_kitti(args):
     paths = save_run(pipe, args.out, to_camera_frame=True)
     summary = {
         "scans": len(files),
-        "keyframes": int(pipe.db.count),
+        "keyframes": pipe.kf_count,
         "loops": pipe.loop_count,
         "scans_per_sec": round(len(files) / wall, 2),
         "artifacts": paths,
@@ -191,6 +206,8 @@ def main(argv=None):
     pk.add_argument("--gt")
     pk.add_argument("--out", default="out/kitti")
     pk.add_argument("--max-scans", type=int, default=0)
+    pk.add_argument("--no-defer-sync", action="store_true",
+                    help="disable one-scan host/device pipelining")
     pk.add_argument("--verbose", action="store_true")
     _add_config_overrides(pk)
     pk.set_defaults(fn=cmd_run_kitti)

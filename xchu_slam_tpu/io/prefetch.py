@@ -1,0 +1,143 @@
+"""Host→device scan staging: packed transfers + threaded prefetch.
+
+The per-scan device compute is ~0.1-0.2 ms (see bench.py), so the end-to-end
+rate is bounded by host→device transfer of the raw scan. Two measures keep the
+link off the critical path — the TPU-native analogue of the reference's
+producer/consumer split between the rosbag reader and the filter/odom nodes
+(`filter_node.cpp:47-51`, SURVEY.md §2d P2):
+
+1. **Packed staging** (`ScanStager`): one [capacity,4] float32 array
+   (xyz+intensity) + a valid-count scalar per scan — a single h2d transfer
+   instead of three (xyz/intensity/mask), with the mask/split done by a tiny
+   device program.
+2. **Threaded prefetch** (`DeviceScanPrefetcher`): N staging threads transfer
+   scans k+1..k+depth while the device computes scan k; scans are delivered
+   strictly in order. A ring of host buffers (depth + threads + 2) keeps
+   staging allocation-free.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xchu_slam_tpu.types import Cloud
+
+
+@jax.jit
+def _unpack(packed, n_valid):
+    """[C,4] packed scan + count → Cloud (device-side split + mask)."""
+    mask = jnp.arange(packed.shape[0]) < n_valid
+    xyz = jnp.where(mask[:, None], packed[:, :3], 0.0)
+    return Cloud(xyz=xyz, intensity=packed[:, 3], mask=mask)
+
+
+class ScanStager:
+    """Reusable pinned host buffer → one packed h2d transfer per scan."""
+
+    def __init__(self, capacity: int, n_buffers: int = 2):
+        self.capacity = capacity
+        self._bufs = [np.zeros((capacity, 4), np.float32)
+                      for _ in range(n_buffers)]
+        self._next = 0
+
+    def stage(self, xyz: np.ndarray, intensity: np.ndarray | None) -> Cloud:
+        buf = self._bufs[self._next]
+        self._next = (self._next + 1) % len(self._bufs)
+        n = min(len(xyz), self.capacity)
+        buf[:n, :3] = xyz[:n]
+        if intensity is None:
+            buf[:n, 3] = 0.0
+        else:
+            buf[:n, 3] = intensity[:n]
+        if n < self.capacity:
+            buf[n:] = 0.0
+        packed = jnp.asarray(buf)
+        # wait for the transfer to commit before the ring slot is reused;
+        # overlap comes from running several stager threads, not from leaving
+        # a mutable host buffer racing an in-flight transfer
+        packed.block_until_ready()
+        return _unpack(packed, jnp.int32(n))
+
+
+class DeviceScanPrefetcher:
+    """Iterate device-staged Clouds for a sequence of host scans, with
+    `threads` staging threads running `depth` scans ahead of consumption."""
+
+    def __init__(self, scans, capacity: int,
+                 depth: int = 4, threads: int = 2):
+        # any indexable sequence works, including a lazy one (LazyScans) whose
+        # __getitem__ reads from disk — the read then happens in the staging
+        # threads, overlapping file IO with device compute
+        if not (hasattr(scans, "__getitem__") and hasattr(scans, "__len__")):
+            scans = list(scans)
+        self.scans = scans
+        self.capacity = capacity
+        self.depth = depth
+        self._results: dict[int, Cloud] = {}
+        self._cv = threading.Condition()
+        self._next_job = 0
+        self._consumed = 0
+        self._threads = [
+            threading.Thread(target=self._work, daemon=True)
+            for _ in range(max(1, threads))
+        ]
+        self._stagers = [ScanStager(capacity, n_buffers=2)
+                         for _ in self._threads]
+        for i, t in enumerate(self._threads):
+            t._stager_idx = i  # type: ignore[attr-defined]
+            t.start()
+
+    def _work(self) -> None:
+        stager = self._stagers[threading.current_thread()._stager_idx]  # type: ignore[attr-defined]
+        while True:
+            with self._cv:
+                while (self._next_job < len(self.scans)
+                       and self._next_job >= self._consumed + self.depth):
+                    self._cv.wait()
+                if self._next_job >= len(self.scans):
+                    return
+                k = self._next_job
+                self._next_job += 1
+            scan = self.scans[k]
+            xyz, inten = scan if isinstance(scan, tuple) else (scan, None)
+            self._results_put(k, stager.stage(xyz, inten))
+
+    def _results_put(self, k: int, cloud: Cloud) -> None:
+        with self._cv:
+            self._results[k] = cloud
+            self._cv.notify_all()
+
+    def __iter__(self) -> Iterator[Cloud]:
+        for k in range(len(self.scans)):
+            with self._cv:
+                while k not in self._results:
+                    self._cv.wait()
+                cloud = self._results.pop(k)
+                self._consumed += 1
+                self._cv.notify_all()
+            yield cloud
+
+    def __len__(self) -> int:
+        return len(self.scans)
+
+
+class LazyScans:
+    """Indexable lazy scan sequence: `read(files[k])` on demand, so the
+    DeviceScanPrefetcher's staging threads do the disk reads too (KITTI 00 is
+    ~9 GB of raw scans — never resident at once)."""
+
+    def __init__(self, files: list, read):
+        self.files = files
+        self.read = read
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, k: int):
+        return self.read(self.files[k])

@@ -1,0 +1,412 @@
+"""Fully on-device SLAM pipeline: one XLA program per scan, zero readbacks.
+
+The host-orchestrated `models/pipeline.py` mirrors the reference's process
+split (filter_node → odom_node → pgo_node) with host control flow between
+device stages. That costs one device→host pose readback per scan — and on a
+remote-attached TPU the first readback in a process permanently degrades
+dispatch pipelining (measured ~900 → ~53 scans/s; see bench.py). This module
+is the end-point of the TPU-native design instead: the ENTIRE SLAM iteration —
+
+  filter → NDT odometry → keyframe gate → cloud subsample → descriptors →
+  loop retrieval (SC/ISC/radius) → ICP verification → pose-graph solve
+
+— is a single jit-compiled, donated-state device program. The host loop only
+feeds staged clouds (io/prefetch.py) and never reads anything until
+`finalize()`. All branching the reference does on the CPU (keyframe gating
+`pgo_node.cpp:188-205`, detection cadence `:390-402`, ICP accept
+`:441-448`) happens under `lax.cond` on device, so non-keyframe scans skip
+the heavy branches at runtime.
+
+Behavioral parity is with `SlamPipeline` in synchronous mode (tests compare
+the two end to end); the underlying ops are the same jitted functions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xchu_slam_tpu.config import SlamConfig
+from xchu_slam_tpu.models import odometry, pose_graph as pg
+from xchu_slam_tpu.models.pipeline import KfDb, build_submap, empty_db, subsample_cloud
+from xchu_slam_tpu.ops import icp, isc as isc_ops, ndt, scancontext as sc, voxel_map as vm
+from xchu_slam_tpu.ops.filter import filter_scan
+from xchu_slam_tpu.types import Cloud
+from xchu_slam_tpu.utils import se3
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class DevSpec(NamedTuple):
+    """Static pipeline parameters (hashable; closed over by the jit)."""
+
+    fcfg: object                # FilterConfig
+    ospec: odometry.OdomSpec
+    scspec: sc.ScSpec
+    iscspec: isc_ops.IscSpec
+    icpspec: icp.IcpSpec
+    gspec: pg.GraphSpec
+    kf_points: int
+    keyframe_gap: float
+    detect_period: int
+    method: str                 # "sc" | "isc" | "radius" | "none"
+    radius_search: float
+    min_time_diff: float
+    max_loop_dist: float
+    icp_fitness_thresh: float
+    max_correction: float
+    submap_half_width: int
+    submap_points: int
+    use_gps: bool
+    log_capacity: int = 8192
+
+
+def spec_from_config(cfg: SlamConfig, kf_points: int = 4096,
+                     log_capacity: int = 8192) -> DevSpec:
+    return DevSpec(
+        fcfg=cfg.filter,
+        ospec=odometry.spec_from_config(cfg),
+        scspec=sc.spec_from_config(cfg.sc),
+        iscspec=isc_ops.spec_from_config(cfg.isc),
+        icpspec=icp.spec_from_config(cfg.loop),
+        gspec=pg.spec_from_config(cfg.pgo),
+        kf_points=kf_points,
+        keyframe_gap=cfg.pgo.keyframe_gap,
+        detect_period=cfg.loop.detect_period,
+        method=cfg.loop.method,
+        radius_search=cfg.loop.radius_search,
+        min_time_diff=cfg.loop.min_time_diff,
+        max_loop_dist=cfg.loop.max_loop_dist,
+        icp_fitness_thresh=cfg.loop.icp_fitness_thresh,
+        max_correction=cfg.loop.max_correction,
+        submap_half_width=cfg.loop.submap_half_width,
+        submap_points=cfg.loop.submap_points,
+        use_gps=cfg.pgo.use_gps,
+        log_capacity=log_capacity,
+    )
+
+
+class DevState(NamedTuple):
+    odom: odometry.OdomState
+    db: KfDb
+    graph: pg.GraphData
+    kf_accum: jnp.ndarray      # f32 — travel since last keyframe
+    travel: jnp.ndarray        # f32 — total odometric travel
+    last_kf_odom: jnp.ndarray  # f32[6] — odometric pose at last keyframe
+    loop_count: jnp.ndarray    # i32
+    scan_count: jnp.ndarray    # i32
+    log: jnp.ndarray           # f32[LOG,11]: pose6, iters, fitness, mfrac,
+    #                                         is_kf, stamp
+
+
+def _sc_radius_candidate(state: DevState, k, stamp, spec: DevSpec):
+    """Loop method 0 (reference pgo_node.cpp:299-342) on device."""
+    db = state.db
+    K = db.poses.shape[0]
+    pos = db.opt_poses[k, :2]
+    d = jnp.linalg.norm(db.opt_poses[:, :2] - pos[None], axis=-1)
+    eligible = (jnp.arange(K) < k) & (db.stamps < stamp - spec.min_time_diff)
+    d = jnp.where(eligible, d, jnp.inf)
+    best = jnp.argmin(d)
+    found = d[best] < spec.radius_search
+    return jnp.where(found, best, -1).astype(jnp.int32), found
+
+
+def _detect_candidate(state: DevState, k, stamp, spec: DevSpec):
+    """Method-dispatched retrieval (static choice, traced data)."""
+    db = state.db
+    if spec.method == "sc":
+        res = sc.detect_loop(db.sc_db[k], db.sc_db, db.count, spec.scspec)
+        return res.idx, res.found
+    if spec.method == "isc":
+        res = isc_ops.detect_loop(db.isc_db[k], db.isc_db, db.count,
+                                  db.poses[:, :3], db.travel, spec.iscspec)
+        return res.idx, res.found
+    if spec.method == "radius":
+        return _sc_radius_candidate(state, k, stamp, spec)
+    return jnp.int32(-1), jnp.bool_(False)
+
+
+def _verify_and_apply(state: DevState, k, cand, spec: DevSpec) -> DevState:
+    """ICP-verify candidate and, on acceptance, add the loop factor and
+    re-solve the graph — all under conds so rejected/absent candidates cost
+    one distance check."""
+    db = state.db
+
+    def verify(state: DevState) -> DevState:
+        db = state.db
+        tgt_xyz, tgt_mask, _ = build_submap(
+            db, cand, cand, spec.submap_half_width, spec.submap_points)
+        T_init = jnp.matmul(
+            se3.inverse(se3.pose_to_matrix(db.opt_poses[cand])),
+            se3.pose_to_matrix(db.opt_poses[k]),
+            precision=_PREC,
+        )
+        res = icp.align(db.clouds[k], db.cloud_mask[k], tgt_xyz, tgt_mask,
+                        T_init, spec.icpspec)
+        corr = jnp.linalg.norm(res.T[:3, 3] - T_init[:3, 3])
+        ok = ((res.fitness <= spec.icp_fitness_thresh)
+              & (corr <= spec.max_correction)
+              & (state.loop_count < spec.gspec.max_loops))
+
+        def apply(state: DevState) -> DevState:
+            q = state.loop_count
+            graph = state.graph._replace(
+                loop_i=state.graph.loop_i.at[q].set(cand),
+                loop_j=state.graph.loop_j.at[q].set(k),
+                loop_T=state.graph.loop_T.at[q].set(res.T),
+                loop_info=state.graph.loop_info.at[q].set(
+                    1.0 / jnp.maximum(res.fitness, 1e-2)),
+                loop_mask=state.graph.loop_mask.at[q].set(True),
+            )
+            opt = pg.solve(state.db.opt_poses, graph, spec.gspec)
+            return state._replace(
+                graph=graph,
+                db=state.db._replace(opt_poses=opt),
+                loop_count=q + 1,
+            )
+
+        return jax.lax.cond(ok, apply, lambda s: s, state)
+
+    # 2-D sanity gate (reference pgo_node.cpp:335-338)
+    d2 = jnp.linalg.norm(db.opt_poses[k, :2] - db.opt_poses[cand, :2])
+    do_verify = (cand >= 0) & (d2 <= spec.max_loop_dist)
+    return jax.lax.cond(do_verify, verify, lambda s: s, state)
+
+
+def _add_keyframe_branch(state: DevState, filt: Cloud, pose, stamp,
+                         gps_alt, gps_valid, spec: DevSpec) -> DevState:
+    db = state.db
+    k = db.count  # new keyframe index
+
+    cxyz, cmask, src_idx = subsample_cloud(filt.xyz, filt.mask, spec.kf_points)
+    sc_desc = sc.make_descriptor(cxyz, cmask, spec.scspec)
+    if spec.method == "isc":
+        cinten = filt.intensity[src_idx]
+        isc_desc = isc_ops.make_descriptor(cxyz, cinten, cmask, spec.iscspec)
+    else:
+        isc_desc = db.isc_db[0] * 0.0
+
+    # optimized pose chains onto the previous optimized pose by the odometric
+    # increment (what iSAM2 yields for a pure chain extension)
+    Z = jnp.matmul(
+        se3.inverse(se3.pose_to_matrix(state.last_kf_odom)),
+        se3.pose_to_matrix(pose),
+        precision=_PREC,
+    )
+    prev_opt = se3.pose_to_matrix(db.opt_poses[jnp.maximum(k - 1, 0)])
+    opt_pose = se3.matrix_to_pose(jnp.matmul(prev_opt, Z, precision=_PREC))
+    opt_pose = jnp.where(k == 0, pose, opt_pose)
+
+    db = db._replace(
+        poses=db.poses.at[k].set(pose),
+        opt_poses=db.opt_poses.at[k].set(opt_pose),
+        stamps=db.stamps.at[k].set(stamp),
+        travel=db.travel.at[k].set(state.travel),
+        clouds=db.clouds.at[k].set(cxyz),
+        cloud_mask=db.cloud_mask.at[k].set(cmask),
+        sc_db=db.sc_db.at[k].set(sc_desc),
+        isc_db=db.isc_db.at[k].set(isc_desc),
+        count=k + 1,
+    )
+    graph = state.graph._replace(
+        between_T=jnp.where(k >= 1,
+                            state.graph.between_T.at[k].set(Z),
+                            state.graph.between_T),
+        kf_mask=state.graph.kf_mask.at[k].set(True),
+    )
+    if spec.use_gps:
+        graph = graph._replace(
+            gps_alt=jnp.where(gps_valid,
+                              graph.gps_alt.at[k].set(gps_alt),
+                              graph.gps_alt),
+            gps_mask=jnp.where(gps_valid,
+                               graph.gps_mask.at[k].set(True),
+                               graph.gps_mask),
+        )
+    state = state._replace(
+        db=db, graph=graph,
+        kf_accum=jnp.float32(0.0),
+        last_kf_odom=pose,
+    )
+
+    # loop detection every detect_period-th keyframe (reference 2 Hz thread)
+    if spec.method != "none":
+        do_detect = (k >= 1) & (k % spec.detect_period == 0)
+
+        def detect(state: DevState) -> DevState:
+            cand, found = _detect_candidate(state, k, stamp, spec)
+            cand = jnp.where(found, cand, jnp.int32(-1))
+            return _verify_and_apply(state, k, cand, spec)
+
+        state = jax.lax.cond(do_detect, detect, lambda s: s, state)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("spec",),
+                   donate_argnames=("state",))
+def device_step(state: DevState, cloud: Cloud, stamp, gps_alt, gps_valid,
+                spec: DevSpec) -> DevState:
+    """One full SLAM iteration on device. Donates and returns the state."""
+    filt = filter_scan(cloud, spec.fcfg)
+    prev_pose = state.odom.pose
+    new_odom, out = odometry.step(state.odom, filt.xyz, filt.mask, spec.ospec)
+    pose = out.pose
+    step_d = jnp.linalg.norm(pose[:2] - prev_pose[:2])
+    state = state._replace(
+        odom=new_odom,
+        kf_accum=state.kf_accum + step_d,
+        travel=state.travel + step_d,
+    )
+
+    is_kf = (state.kf_accum >= spec.keyframe_gap) & (
+        state.db.count < state.db.poses.shape[0])
+    state = jax.lax.cond(
+        is_kf,
+        lambda s: _add_keyframe_branch(s, filt, pose, stamp, gps_alt,
+                                       gps_valid, spec),
+        lambda s: s,
+        state,
+    )
+
+    row = jnp.concatenate([
+        pose,
+        jnp.stack([out.iterations.astype(jnp.float32), out.fitness,
+                   out.matched_frac, is_kf.astype(jnp.float32),
+                   jnp.asarray(stamp, jnp.float32)]),
+    ])
+    slot = state.scan_count % spec.log_capacity
+    return state._replace(
+        log=state.log.at[slot].set(row),
+        scan_count=state.scan_count + 1,
+    )
+
+
+def init_state(spec: DevSpec, cloud0: Cloud, stamp0, cfg: SlamConfig) -> DevState:
+    """Seed odometry with the first scan and store keyframe 0 (the host
+    pipeline's first-scan path)."""
+    filt = filter_scan(cloud0, spec.fcfg)
+    odom0 = odometry.init_state(spec.ospec, jnp.zeros(6, jnp.float32),
+                                filt.xyz, filt.mask)
+    db = empty_db(cfg, spec.kf_points)
+    graph = pg.empty_graph(spec.gspec)
+    state = DevState(
+        odom=odom0,
+        db=db,
+        graph=graph,
+        kf_accum=jnp.float32(0.0),
+        travel=jnp.float32(0.0),
+        last_kf_odom=jnp.zeros(6, jnp.float32),
+        loop_count=jnp.int32(0),
+        scan_count=jnp.int32(0),
+        log=jnp.zeros((spec.log_capacity, 11), jnp.float32),
+    )
+    state = _seed_first_kf(state, cloud0, jnp.float32(stamp0), spec)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("spec",),
+                   donate_argnames=("state",))
+def _seed_first_kf(state: DevState, cloud0: Cloud, stamp0,
+                   spec: DevSpec) -> DevState:
+    filt = filter_scan(cloud0, spec.fcfg)
+    pose0 = jnp.zeros(6, jnp.float32)
+    state = _add_keyframe_branch(state, filt, pose0, stamp0,
+                                 jnp.float32(0.0), jnp.bool_(False), spec)
+    row = jnp.concatenate(
+        [pose0, jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32),
+         jnp.asarray(stamp0, jnp.float32)[None]])
+    return state._replace(log=state.log.at[0].set(row),
+                          scan_count=jnp.int32(1))
+
+
+class DeviceSlamPipeline:
+    """Host shell around `device_step`: feed clouds, read results at the end.
+
+    Drop-in alternative to `SlamPipeline` for throughput-critical runs; after
+    `finalize()` it exposes the same `.db/.graph/.loop_count/.kf_count/
+    .odom_log/.loops` surface that `io/export.save_run` consumes."""
+
+    def __init__(self, cfg: SlamConfig, kf_points: int = 4096,
+                 log_capacity: int = 8192):
+        self.cfg = cfg
+        self.spec = spec_from_config(cfg, kf_points, log_capacity)
+        # sub-spec aliases for API parity with SlamPipeline (io/export reads
+        # pipe.gspec for g2o information matrices)
+        self.gspec = self.spec.gspec
+        self.scspec = self.spec.scspec
+        self.iscspec = self.spec.iscspec
+        self.icpspec = self.spec.icpspec
+        self.ospec = self.spec.ospec
+        self.kf_points = kf_points
+        self.state: DevState | None = None
+        # filled by finalize()
+        self.db = None
+        self.graph = None
+        self.loop_count = 0
+        self.kf_count = 0
+        self.scan_count = 0
+        self.odom_log: list[dict] = []
+        self.loops: list = []
+
+    def process_scan(self, cloud: Cloud, intensity=None, stamp: float = 0.0,
+                     gps_alt: float | None = None) -> None:
+        """Feed one device-staged Cloud (io/prefetch.py). No readbacks."""
+        if not isinstance(cloud, Cloud):
+            from xchu_slam_tpu.types import make_cloud
+            cloud = make_cloud(cloud, intensity,
+                               capacity=self.cfg.filter.max_raw_points)
+        if self.state is None:
+            self.state = init_state(self.spec, cloud, stamp, self.cfg)
+            return
+        self.state = device_step(
+            self.state, cloud, jnp.float32(stamp),
+            jnp.float32(gps_alt if gps_alt is not None else 0.0),
+            jnp.bool_(gps_alt is not None), self.spec)
+
+    def finalize(self) -> None:
+        """Final pose-graph solve + ONE host readback of everything."""
+        st = self.state
+        opt = pg.solve(st.db.opt_poses, st.graph, self.spec.gspec)
+        st = st._replace(db=st.db._replace(opt_poses=opt))
+        self.state = st
+        host = jax.device_get(st)
+        self.db = st.db  # device arrays (export reads via np.asarray)
+        self.graph = st.graph
+        self.kf_count = int(host.db.count)
+        self.loop_count = int(host.loop_count)
+        self.scan_count = int(host.scan_count)
+        n = min(self.scan_count, self.spec.log_capacity)
+        from xchu_slam_tpu.models.pipeline import LoopRecord
+        log = host.log[:n]
+        self.odom_log = [
+            {"stamp": float(log[i, 10]), "pose": log[i, :6],
+             "iterations": int(log[i, 6]), "fitness": float(log[i, 7]),
+             "matched_frac": float(log[i, 8]),
+             "keyframe": bool(log[i, 9] > 0.5)}
+            for i in range(n)
+        ]
+        self.loops = [
+            LoopRecord(i=int(host.graph.loop_i[q]),
+                       j=int(host.graph.loop_j[q]),
+                       fitness=float(1.0 / max(host.graph.loop_info[q], 1e-9)),
+                       method=self.spec.method)
+            for q in range(self.loop_count)
+        ]
+
+    def keyframe_trajectory(self):
+        n = self.kf_count
+        return (np.asarray(self.db.stamps[:n]),
+                np.asarray(self.db.poses[:n]),
+                np.asarray(self.db.opt_poses[:n]))
+
+    def odometry_trajectory(self) -> np.ndarray:
+        return np.array([r["pose"] for r in self.odom_log], np.float32)
+
+    def assemble_map(self, voxel: float = 0.5, max_points: int = 1 << 20):
+        from xchu_slam_tpu.models.pipeline import SlamPipeline
+        return SlamPipeline.assemble_map(self, voxel, max_points)

@@ -175,6 +175,7 @@ class SlamPipeline:
         self.loop_count = 0
         self.loops: list[LoopRecord] = []
         self.scan_count = 0
+        self.kf_count = 0  # host mirror of db.count — avoids a device sync
         self.kf_gate_accum = 0.0
         self.travel = 0.0
         self._last_odom_pose = None
@@ -193,10 +194,18 @@ class SlamPipeline:
         self.odom_log: list[dict] = []
 
     # ------------------------------------------------------------------ #
-    def process_scan(self, xyz: np.ndarray, intensity: np.ndarray | None,
+    def process_scan(self, xyz: np.ndarray | Cloud,
+                     intensity: np.ndarray | None,
                      stamp: float, gps_alt: float | None = None) -> dict | None:
+        """Feed one scan. `xyz` may be raw numpy points or an already
+        device-staged Cloud (io.prefetch.DeviceScanPrefetcher) — the streaming
+        path that overlaps host→device transfer with compute."""
         cfg = self.cfg
-        cloud = make_cloud(xyz, intensity, capacity=cfg.filter.max_raw_points)
+        if isinstance(xyz, Cloud):
+            cloud = xyz
+        else:
+            cloud = make_cloud(xyz, intensity,
+                               capacity=cfg.filter.max_raw_points)
 
         if self.odom_state is None:
             filt = filter_scan(cloud, cfg.filter)
@@ -224,7 +233,10 @@ class SlamPipeline:
     def _consume(self, out, filt, stamp, gps_alt) -> dict:
         cfg = self.cfg
         ground_res = self._maybe_ground(filt)
-        pose = np.asarray(out.pose)
+        # ONE batched device→host fetch per scan (each np.asarray/int/float on
+        # a device scalar is a separate round trip over the host↔TPU link)
+        pose, iters, mfrac, fit = jax.device_get(
+            (out.pose, out.iterations, out.matched_frac, out.fitness))
         step_d = float(np.linalg.norm(pose[:2] - self._last_odom_pose[:2]))
         self.travel += step_d
         self.kf_gate_accum += step_d
@@ -233,18 +245,19 @@ class SlamPipeline:
         self.odom_log.append({
             "stamp": stamp,
             "pose": pose,
-            "iterations": int(out.iterations),
-            "matched_frac": float(out.matched_frac),
-            "fitness": float(out.fitness),
+            "iterations": int(iters),
+            "matched_frac": float(mfrac),
+            "fitness": float(fit),
         })
 
-        is_kf = self.kf_gate_accum >= cfg.pgo.keyframe_gap
+        is_kf = (self.kf_gate_accum >= cfg.pgo.keyframe_gap
+                 and self.kf_count < cfg.pgo.max_keyframes)
         loop_rec = None
         if is_kf:
             self.kf_gate_accum = 0.0
             opt_pose = self._chain_opt_pose(pose)
             self._add_kf(pose, stamp, filt, opt_pose=opt_pose, gps_alt=gps_alt)
-            k = int(self.db.count) - 1
+            k = self.kf_count - 1
             if k >= 1 and k % cfg.loop.detect_period == 0:
                 if self._worker is not None:
                     self._worker.submit(k, stamp)
@@ -277,7 +290,7 @@ class SlamPipeline:
         (what iSAM2 yields for a chain extension)."""
         if self._last_kf_odom is None:
             return odom_pose
-        k = int(self.db.count) - 1
+        k = self.kf_count - 1
         T_prev_opt = se3.pose_to_matrix(self.db.opt_poses[k])
         Z = jnp.matmul(
             se3.inverse(se3.pose_to_matrix(jnp.asarray(self._last_kf_odom))),
@@ -301,7 +314,8 @@ class SlamPipeline:
             jnp.float32(self.travel), cxyz, cmask, sc_desc, isc_desc,
             jnp.asarray(opt_pose, jnp.float32),
         )
-        k = int(self.db.count) - 1
+        self.kf_count += 1
+        k = self.kf_count - 1
         if k >= 1:
             Z = jnp.matmul(
                 se3.inverse(se3.pose_to_matrix(jnp.asarray(self._last_kf_odom))),
@@ -429,7 +443,7 @@ class SlamPipeline:
 
     def keyframe_trajectory(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(stamps, odometry poses6, optimized poses6) for live keyframes."""
-        n = int(self.db.count)
+        n = self.kf_count
         return (np.asarray(self.db.stamps[:n]),
                 np.asarray(self.db.poses[:n]),
                 np.asarray(self.db.opt_poses[:n]))
@@ -439,7 +453,7 @@ class SlamPipeline:
 
     def assemble_map(self, voxel: float = 0.5, max_points: int = 1 << 20):
         """Aggregate keyframe clouds at optimized poses (SaveMap analogue)."""
-        n = int(self.db.count)
+        n = self.kf_count
         pts = []
         for k in range(n):
             T = se3.pose_to_matrix(self.db.opt_poses[k])

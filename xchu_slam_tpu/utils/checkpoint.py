@@ -85,6 +85,7 @@ def load_checkpoint(path: str):
         pipe.odom_state = unflatten("odom", odometry.OdomState)
     pipe.loop_count = int(meta["loop_count"])
     pipe.scan_count = int(meta["scan_count"])
+    pipe.kf_count = int(np.asarray(data["db.count"]))
     pipe.kf_gate_accum = float(meta["kf_gate_accum"])
     pipe.travel = float(meta["travel"])
     pipe.loops = [LoopRecord(i=i, j=j, fitness=f, method=m)
