@@ -96,18 +96,14 @@ def main():
 
     scans_per_sec = (n_scans - 1) / best_dt
 
-    # first readback of the process (poisons pipelined dispatch — see above;
-    # everything timed after this point runs in degraded-dispatch mode, which
-    # phase 2's host-orchestrated pipeline pays anyway)
-    gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
-    gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)[:, :3, 3]
-    est = np.array([np.asarray(p) for p in poses])
-    ate = metrics.ape_rmse(est[:, :3], gt_rel[:len(est)], align=False)
-
     # ---- phase 2: FULL pipeline (filter→odom→SC loops→ICP→PGO) on a
-    # closed circuit with genuine revisits -------------------------------- #
+    # closed circuit with genuine revisits, as ONE on-device program per scan
+    # (models/device_pipeline.py) — keyframe gating, descriptors, retrieval,
+    # ICP verification, and the pose-graph solve all run under lax.cond on
+    # device, so the host dispatches blind and NOTHING is read back until
+    # after the timed region (readbacks also poison dispatch, see above).
     from xchu_slam_tpu.config import default_config
-    from xchu_slam_tpu.models.pipeline import SlamPipeline
+    from xchu_slam_tpu.models.device_pipeline import DeviceSlamPipeline
 
     cfg = default_config().override({
         "filter.max_raw_points": 32768,
@@ -121,35 +117,33 @@ def main():
     gt2 = sim.loop_trajectory(n_scans=n_full, radius=30.0, speed=1.0)
     rng2 = np.random.default_rng(11)
     full_scans = [sim.render_scan(world, p, rng2, n_points=24_000) for p in gt2]
-    # warm the compile cache on a throwaway pipeline (same static shapes),
-    # incl. one forced detection pass, so the timed run is steady-state
-    warm = SlamPipeline(cfg, kf_points=4096)
-    for i in range(8):
-        warm.process_scan(*full_scans[i], stamp=0.1 * i)
-    try:
-        warm.detect_and_verify_snapshot(int(warm.db.count) - 1, 0.7)
-    except Exception:
-        pass
-    from xchu_slam_tpu.models import pose_graph as _pg
-    from xchu_slam_tpu.models.pipeline import build_submap as _bs
-    from xchu_slam_tpu.ops import icp as _icp
-    _pg.solve(warm.db.opt_poses, warm.graph, warm.gspec).block_until_ready()
-    _tx, _tm, _ = _bs(warm.db, jnp.int32(0), jnp.int32(0),
-                      cfg.loop.submap_half_width, cfg.loop.submap_points)
-    _icp.align(warm.db.clouds[0], warm.db.cloud_mask[0], _tx, _tm,
-               jnp.eye(4), warm.icpspec).T.block_until_ready()
+    # warm the compile cache on a throwaway pipeline (same static shapes);
+    # lax.cond compiles every branch, so a few scans cover the whole program.
+    # block_until_ready only — no device_get before the timed reps.
+    warm = DeviceSlamPipeline(cfg, kf_points=4096)
+    pfw = DeviceScanPrefetcher(full_scans[:8], capacity=fcfg.max_raw_points,
+                               depth=6, threads=3)
+    for i, cloud in enumerate(pfw):
+        warm.process_scan(cloud, None, stamp=0.1 * i)
+    jax.block_until_ready(warm.state.log)
 
     dt_full = float("inf")
     for _rep in range(2):
-        pipe = SlamPipeline(cfg, kf_points=4096)
-        pipe.defer_sync = True  # overlap host bookkeeping with device compute
+        pipe = DeviceSlamPipeline(cfg, kf_points=4096)
         pf2 = DeviceScanPrefetcher(full_scans, capacity=fcfg.max_raw_points,
                                    depth=6, threads=3)
         t1 = time.perf_counter()
         for i, cloud in enumerate(pf2):
             pipe.process_scan(cloud, None, stamp=0.1 * i)
-        pipe.finalize()
+        jax.block_until_ready(pipe.state.log)
         dt_full = min(dt_full, time.perf_counter() - t1)
+
+    # ---- everything below reads back (end of all timed regions) --------- #
+    pipe.finalize()
+    gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
+    gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)[:, :3, 3]
+    est = np.array([np.asarray(p) for p in poses])
+    ate = metrics.ape_rmse(est[:, :3], gt_rel[:len(est)], align=False)
     gtT2 = np.asarray(se3.pose_to_matrix(jnp.asarray(gt2)))
     gt2_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT2[0]), gtT2)[:, :3, 3]
     stamps, _kf_odo, kf_opt = pipe.keyframe_trajectory()
