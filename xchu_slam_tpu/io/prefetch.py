@@ -37,12 +37,53 @@ def _unpack(packed, n_valid):
     return Cloud(xyz=xyz, intensity=packed[:, 3], mask=mask)
 
 
-class ScanStager:
-    """Reusable pinned host buffer → one packed h2d transfer per scan."""
+# Fixed-point staging: 2 mm resolution, int16 range ±65.534 m — comfortably
+# beyond the 60 m range crop (reference filter_node.cpp:242-247) and ~10×
+# below LiDAR sensor noise, so odometry is unaffected (tests/test_prefetch.py
+# checks trajectory parity). Halves the bytes/point on the host↔device link,
+# which bounds end-to-end throughput (see bench.py).
+_QUANT_SCALE = 500.0
+_INTEN_SCALE = 255.0
 
-    def __init__(self, capacity: int, n_buffers: int = 2):
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _unpack_quant(packed, n_valid, capacity: int):
+    """int16[C,4] packed scan + count → Cloud, dequantized + padded on
+    device. C ≤ capacity (tight transfer buckets, padding is free on-device)."""
+    c = packed.shape[0]
+    xyz = packed[:, :3].astype(jnp.float32) * (1.0 / _QUANT_SCALE)
+    inten = packed[:, 3].astype(jnp.float32) * (1.0 / _INTEN_SCALE)
+    if c < capacity:
+        xyz = jnp.pad(xyz, ((0, capacity - c), (0, 0)))
+        inten = jnp.pad(inten, (0, capacity - c))
+    mask = jnp.arange(capacity) < n_valid
+    return Cloud(xyz=jnp.where(mask[:, None], xyz, 0.0),
+                 intensity=jnp.where(mask, inten, 0.0), mask=mask)
+
+
+class ScanStager:
+    """Reusable pinned host buffer → one packed h2d transfer per scan.
+
+    With `quantize=True` the transfer is int16 fixed-point (2 mm) and sized
+    to the smallest `bucket`-multiple ≥ the scan's point count — ~3.5× fewer
+    bytes over the link than padded float32 for a typical KITTI scan,
+    dequantized/padded by a tiny device program. Each distinct bucket size
+    compiles one unpack program (≤ capacity/bucket of them).
+
+    Default is float32 (`quantize=False`): on the axon-relay TPU the link is
+    latency-bound, not bandwidth-bound — measured 1150 scans/s float vs 760
+    quantized (the host-side fixed-point conversion adds ~1.3 ms to each
+    staging thread's critical path and int16 h2d is no faster). Use
+    `quantize=True` on genuinely bandwidth-constrained links (e.g. DCN-remote
+    feeds) where 3.5× fewer bytes wins."""
+
+    def __init__(self, capacity: int, n_buffers: int = 2,
+                 quantize: bool = False, bucket: int = 4096):
         self.capacity = capacity
-        self._bufs = [np.zeros((capacity, 4), np.float32)
+        self.quantize = quantize
+        self.bucket = bucket
+        dtype = np.int16 if quantize else np.float32
+        self._bufs = [np.zeros((capacity, 4), dtype)
                       for _ in range(n_buffers)]
         self._next = 0
 
@@ -50,6 +91,24 @@ class ScanStager:
         buf = self._bufs[self._next]
         self._next = (self._next + 1) % len(self._bufs)
         n = min(len(xyz), self.capacity)
+        if self.quantize:
+            # non-finite → clamp to the int16 rim → range-cropped on device
+            q = np.nan_to_num(np.asarray(xyz[:n], np.float32) * _QUANT_SCALE,
+                              nan=32767.0, posinf=32767.0, neginf=-32767.0)
+            buf[:n, :3] = np.clip(np.rint(q), -32767, 32767)
+            if intensity is None:
+                buf[:n, 3] = 0
+            else:
+                qi = np.nan_to_num(
+                    np.asarray(intensity[:n], np.float32) * _INTEN_SCALE,
+                    nan=0.0, posinf=32767.0, neginf=0.0)
+                buf[:n, 3] = np.clip(np.rint(qi), -32767, 32767)
+            c = min(-(-max(n, 1) // self.bucket) * self.bucket, self.capacity)
+            if n < c:
+                buf[n:c] = 0
+            packed = jnp.asarray(buf[:c])
+            packed.block_until_ready()
+            return _unpack_quant(packed, jnp.int32(n), self.capacity)
         buf[:n, :3] = xyz[:n]
         if intensity is None:
             buf[:n, 3] = 0.0
@@ -70,7 +129,7 @@ class DeviceScanPrefetcher:
     `threads` staging threads running `depth` scans ahead of consumption."""
 
     def __init__(self, scans, capacity: int,
-                 depth: int = 4, threads: int = 2):
+                 depth: int = 4, threads: int = 2, quantize: bool = False):
         # any indexable sequence works, including a lazy one (LazyScans) whose
         # __getitem__ reads from disk — the read then happens in the staging
         # threads, overlapping file IO with device compute
@@ -87,7 +146,7 @@ class DeviceScanPrefetcher:
             threading.Thread(target=self._work, daemon=True)
             for _ in range(max(1, threads))
         ]
-        self._stagers = [ScanStager(capacity, n_buffers=2)
+        self._stagers = [ScanStager(capacity, n_buffers=2, quantize=quantize)
                          for _ in self._threads]
         for i, t in enumerate(self._threads):
             t._stager_idx = i  # type: ignore[attr-defined]
