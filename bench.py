@@ -48,18 +48,23 @@ def main():
     rng = np.random.default_rng(7)
     scans = [sim.render_scan(world, p, rng, n_points=24_000) for p in gt]
 
-    # warmup: compile all per-scan programs
-    from xchu_slam_tpu.models.pipeline import fused_filter_step
+    # warmup: compile the chunked program (lax.scan of filter+odometry over a
+    # staged 16-scan chunk — ONE h2d transfer + ONE dispatch per chunk; the
+    # relay link costs ~0.3 ms fixed latency per transfer, which bounds
+    # per-scan staging at ~1.2k scans/s while the device sustains ~12k)
+    from xchu_slam_tpu.io.prefetch import DeviceChunkPrefetcher
+
+    CHUNK = 16  # 8 MB/transfer; >8 MB transfers degrade the relay
 
     xyz0, int0 = scans[0]
     cl0 = make_cloud(xyz0, int0, capacity=fcfg.max_raw_points)
     filt = filter_scan(cl0, fcfg)
     state = odometry.init_state(ospec, jnp.zeros(6), filt.xyz, filt.mask)
-    xyz1, int1 = scans[1]
-    filt1 = filter_scan(make_cloud(xyz1, int1, capacity=fcfg.max_raw_points), fcfg)
-    state, out = odometry.step(state, filt1.xyz, filt1.mask, ospec)
-    state, out, _f = fused_filter_step(state, cl0, fcfg, ospec)
-    out.pose.block_until_ready()
+    pfw = DeviceChunkPrefetcher(scans[1:CHUNK + 1], capacity=fcfg.max_raw_points,
+                                chunk=CHUNK, depth=2, threads=2)
+    for clouds_w, _n in pfw:
+        state, out_w = odometry.chunk_step(state, clouds_w, fcfg, ospec)
+    jax.block_until_ready(out_w.pose)
 
     # timed run (fresh state, all scans); best-of-3 repeats — the host↔TPU
     # tunnel has multi-hundred-ms latency spikes that would otherwise swamp
@@ -72,23 +77,20 @@ def main():
     # reads happen after the last timed region.
     from xchu_slam_tpu.utils import se3
 
-    from xchu_slam_tpu.io.prefetch import DeviceScanPrefetcher
-
     best_dt = float("inf")
     for _rep in range(3):
-        # streaming path: staging threads transfer scan k+1.. while the device
-        # computes scan k (io/prefetch.py — the reader-node analogue)
-        pf = iter(DeviceScanPrefetcher(scans, capacity=fcfg.max_raw_points,
-                                       depth=6, threads=3))
-        cloud0 = next(pf)
-        filt = filter_scan(cloud0, fcfg)
+        # streaming path: staging threads transfer chunk k+1.. while the
+        # device computes chunk k (io/prefetch.py — the reader-node analogue)
+        pf = DeviceChunkPrefetcher(scans[1:], capacity=fcfg.max_raw_points,
+                                   chunk=CHUNK, depth=2, threads=2)
+        filt = filter_scan(cl0, fcfg)
         state = odometry.init_state(ospec, jnp.zeros(6), filt.xyz, filt.mask)
         t0 = time.perf_counter()
-        poses = [np.zeros(6, np.float32)]
-        for cloud in pf:
-            state, out, _f = fused_filter_step(state, cloud, fcfg, ospec)
-            poses.append(out.pose)
-        poses[-1].block_until_ready()
+        chunk_poses = []
+        for clouds, n_real in pf:
+            state, outs = odometry.chunk_step(state, clouds, fcfg, ospec)
+            chunk_poses.append((outs.pose, n_real))
+        chunk_poses[-1][0].block_until_ready()
         rep_dt = time.perf_counter() - t0
         import sys as _sys
         print(f"rep {(n_scans-1)/rep_dt:.1f} scans/s", file=_sys.stderr)
@@ -118,23 +120,27 @@ def main():
     rng2 = np.random.default_rng(11)
     full_scans = [sim.render_scan(world, p, rng2, n_points=24_000) for p in gt2]
     # warm the compile cache on a throwaway pipeline (same static shapes);
-    # lax.cond compiles every branch, so a few scans cover the whole program.
+    # lax.cond compiles every branch, so one chunk covers the whole program.
     # block_until_ready only — no device_get before the timed reps.
     warm = DeviceSlamPipeline(cfg, kf_points=4096)
-    pfw = DeviceScanPrefetcher(full_scans[:8], capacity=fcfg.max_raw_points,
-                               depth=6, threads=3)
-    for i, cloud in enumerate(pfw):
-        warm.process_scan(cloud, None, stamp=0.1 * i)
+    pfw2 = DeviceChunkPrefetcher(full_scans[:CHUNK], capacity=fcfg.max_raw_points,
+                                 chunk=CHUNK, depth=2, threads=2)
+    for clouds, n_real in pfw2:
+        warm.process_chunk(clouds, 0.1 * np.arange(CHUNK, dtype=np.float32),
+                           n_real)
     jax.block_until_ready(warm.state.log)
 
     dt_full = float("inf")
     for _rep in range(2):
         pipe = DeviceSlamPipeline(cfg, kf_points=4096)
-        pf2 = DeviceScanPrefetcher(full_scans, capacity=fcfg.max_raw_points,
-                                   depth=6, threads=3)
+        pf2 = DeviceChunkPrefetcher(full_scans, capacity=fcfg.max_raw_points,
+                                    chunk=CHUNK, depth=2, threads=2)
         t1 = time.perf_counter()
-        for i, cloud in enumerate(pf2):
-            pipe.process_scan(cloud, None, stamp=0.1 * i)
+        base = 0
+        for clouds, n_real in pf2:
+            stamps = 0.1 * (base + np.arange(clouds.xyz.shape[0]))
+            pipe.process_chunk(clouds, stamps, n_real)
+            base += n_real
         jax.block_until_ready(pipe.state.log)
         dt_full = min(dt_full, time.perf_counter() - t1)
 
@@ -142,7 +148,8 @@ def main():
     pipe.finalize()
     gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
     gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)[:, :3, 3]
-    est = np.array([np.asarray(p) for p in poses])
+    est = np.vstack([np.zeros((1, 6), np.float32)]
+                    + [np.asarray(p)[:n] for p, n in chunk_poses])
     ate = metrics.ape_rmse(est[:, :3], gt_rel[:len(est)], align=False)
     gtT2 = np.asarray(se3.pose_to_matrix(jnp.asarray(gt2)))
     gt2_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT2[0]), gtT2)[:, :3, 3]

@@ -68,6 +68,78 @@ def test_matches_host_pipeline(sim_scans):
         host.odometry_trajectory(), atol=1e-6)
 
 
+def test_chunked_matches_per_scan(sim_scans):
+    """device_chunk_step (lax.scan of the per-scan body, staged chunk
+    transfers) must reproduce per-scan process_scan exactly, including a
+    short final chunk."""
+    from xchu_slam_tpu.io.prefetch import DeviceChunkPrefetcher
+
+    cfg = _cfg()
+    scans = sim_scans[:45]  # 45 scans, chunk 8 → short final chunk of 5
+    ref = dp.DeviceSlamPipeline(cfg, kf_points=1024, log_capacity=128)
+    for i, (xyz, inten) in enumerate(scans):
+        cl = make_cloud(xyz, inten, capacity=cfg.filter.max_raw_points)
+        ref.process_scan(cl, stamp=0.1 * i)
+    ref.finalize()
+
+    chunked = dp.DeviceSlamPipeline(cfg, kf_points=1024, log_capacity=128)
+    pf = DeviceChunkPrefetcher(scans, capacity=cfg.filter.max_raw_points,
+                               chunk=8, depth=2, threads=2)
+    base = 0
+    for clouds, n_real in pf:
+        stamps = 0.1 * (base + np.arange(clouds.xyz.shape[0]))
+        chunked.process_chunk(clouds, stamps, n_real)
+        base += n_real
+    chunked.finalize()
+
+    assert chunked.scan_count == ref.scan_count == len(scans)
+    assert chunked.kf_count == ref.kf_count
+    assert chunked.loop_count == ref.loop_count
+    np.testing.assert_array_equal(chunked.odometry_trajectory(),
+                                  ref.odometry_trajectory())
+    _, co, copt = chunked.keyframe_trajectory()
+    _, ro, ropt = ref.keyframe_trajectory()
+    np.testing.assert_array_equal(co, ro)
+    np.testing.assert_allclose(copt, ropt, atol=1e-5)
+
+
+def test_odometry_chunk_step_matches_sequential(sim_scans):
+    from xchu_slam_tpu.models import odometry
+    from xchu_slam_tpu.ops.filter import filter_scan
+    from xchu_slam_tpu.io.prefetch import DeviceChunkPrefetcher
+
+    cfg = _cfg()
+    ospec = odometry.spec_from_config(cfg)
+    scans = sim_scans[:20]
+
+    def seq():
+        cl0 = make_cloud(*scans[0], capacity=cfg.filter.max_raw_points)
+        f0 = filter_scan(cl0, cfg.filter)
+        st = odometry.init_state(ospec, jnp.zeros(6), f0.xyz, f0.mask)
+        poses = []
+        for xyz, inten in scans[1:]:
+            cl = make_cloud(xyz, inten, capacity=cfg.filter.max_raw_points)
+            f = filter_scan(cl, cfg.filter)
+            st, out = odometry.step(st, f.xyz, f.mask, ospec)
+            poses.append(np.asarray(out.pose))
+        return np.stack(poses)
+
+    def chunked():
+        cl0 = make_cloud(*scans[0], capacity=cfg.filter.max_raw_points)
+        f0 = filter_scan(cl0, cfg.filter)
+        st = odometry.init_state(ospec, jnp.zeros(6), f0.xyz, f0.mask)
+        poses = []
+        pf = DeviceChunkPrefetcher(scans[1:],
+                                   capacity=cfg.filter.max_raw_points,
+                                   chunk=8, depth=2, threads=2)
+        for clouds, n_real in pf:
+            st, outs = odometry.chunk_step(st, clouds, cfg.filter, ospec)
+            poses.append(np.asarray(outs.pose)[:n_real])
+        return np.vstack(poses)
+
+    np.testing.assert_array_equal(seq(), chunked())
+
+
 def test_keyframe_capacity_respected(sim_scans):
     cfg = _cfg(**{"pgo.max_keyframes": 8})
     dev = dp.DeviceSlamPipeline(cfg, kf_points=1024, log_capacity=128)

@@ -252,6 +252,11 @@ def _add_keyframe_branch(state: DevState, filt: Cloud, pose, stamp,
 def device_step(state: DevState, cloud: Cloud, stamp, gps_alt, gps_valid,
                 spec: DevSpec) -> DevState:
     """One full SLAM iteration on device. Donates and returns the state."""
+    return _device_step_body(state, cloud, stamp, gps_alt, gps_valid, spec)
+
+
+def _device_step_body(state: DevState, cloud: Cloud, stamp, gps_alt,
+                      gps_valid, spec: DevSpec) -> DevState:
     filt = filter_scan(cloud, spec.fcfg)
     prev_pose = state.odom.pose
     new_odom, out = odometry.step(state.odom, filt.xyz, filt.mask, spec.ospec)
@@ -284,6 +289,29 @@ def device_step(state: DevState, cloud: Cloud, stamp, gps_alt, gps_valid,
         log=state.log.at[slot].set(row),
         scan_count=state.scan_count + 1,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("spec",),
+                   donate_argnames=("state",))
+def device_chunk_step(state: DevState, clouds: Cloud, stamps, gps_alts,
+                      gps_valids, scan_valids, spec: DevSpec) -> DevState:
+    """A CHUNK of full SLAM iterations in one device program: `lax.scan` of
+    `device_step`'s body over the leading axis of a staged Cloud batch
+    (io/prefetch.DeviceChunkPrefetcher) — one h2d transfer + one dispatch per
+    chunk. `scan_valids` masks empty trailing slots of a short final chunk
+    (those scans are skipped entirely)."""
+
+    def body(st, xs):
+        cloud, stamp, alt, gv, valid = xs
+        st = jax.lax.cond(
+            valid,
+            lambda s: _device_step_body(s, cloud, stamp, alt, gv, spec),
+            lambda s: s, st)
+        return st, None
+
+    state, _ = jax.lax.scan(body, state,
+                            (clouds, stamps, gps_alts, gps_valids, scan_valids))
+    return state
 
 
 def init_state(spec: DevSpec, cloud0: Cloud, stamp0, cfg: SlamConfig) -> DevState:
@@ -367,6 +395,31 @@ class DeviceSlamPipeline:
             self.state, cloud, jnp.float32(stamp),
             jnp.float32(gps_alt if gps_alt is not None else 0.0),
             jnp.bool_(gps_alt is not None), self.spec)
+
+    def process_chunk(self, clouds: Cloud, stamps, n_real: int,
+                      gps_alts=None) -> None:
+        """Feed a staged chunk (Cloud batch [chunk,...] from
+        io/prefetch.DeviceChunkPrefetcher): one dispatch for `chunk` scans.
+        `stamps` is per-slot [chunk]; `n_real` ≤ chunk marks how many slots
+        hold real scans (a short final chunk)."""
+        chunk = clouds.xyz.shape[0]
+        stamps = np.asarray(stamps, np.float32)
+        if gps_alts is None:
+            alts = np.zeros((chunk,), np.float32)
+            gvalid = np.zeros((chunk,), bool)
+        else:
+            alts = np.nan_to_num(np.asarray(gps_alts, np.float32))
+            gvalid = np.isfinite(np.asarray(gps_alts, np.float32))
+        valid = np.arange(chunk) < n_real
+        if self.state is None:
+            first = jax.tree.map(lambda a: a[0], clouds)
+            self.state = init_state(self.spec, first, float(stamps[0]),
+                                    self.cfg)
+            valid = valid.copy()
+            valid[0] = False
+        self.state = device_chunk_step(
+            self.state, clouds, jnp.asarray(stamps), jnp.asarray(alts),
+            jnp.asarray(gvalid), jnp.asarray(valid), self.spec)
 
     def finalize(self) -> None:
         """Final pose-graph solve + ONE host readback of everything."""
