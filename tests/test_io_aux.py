@@ -118,6 +118,81 @@ def test_checkpoint_resume(tiny_pipe, tmp_path):
     assert np.isfinite(out["pose"]).all()
 
 
+@pytest.fixture(scope="module")
+def tiny_dev_pipe():
+    """A minimal on-device pipeline run (chunked ingest) for checkpoint tests."""
+    from xchu_slam_tpu.config import FilterConfig, NdtConfig, PgoConfig, SlamConfig
+    from xchu_slam_tpu.io.prefetch import DeviceChunkPrefetcher
+    from xchu_slam_tpu.models.device_pipeline import DeviceSlamPipeline
+    from xchu_slam_tpu.utils import sim
+
+    cfg = SlamConfig(
+        filter=FilterConfig(max_raw_points=8192, max_points=4096,
+                            outlier_method="none"),
+        ndt=NdtConfig(grid_x=48, grid_y=48, grid_z=16, max_iterations=20),
+        pgo=PgoConfig(max_keyframes=64, max_loops=8),
+    )
+    pipe = DeviceSlamPipeline(cfg, kf_points=2048, log_capacity=64)
+    world = sim.make_world(3, extent=70.0, ground_pts=40_000)
+    gt = sim.loop_trajectory(n_scans=12, radius=30.0, speed=1.0)
+    rng = np.random.default_rng(3)
+    scans = [sim.render_scan(world, p, rng, n_points=6000) for p in gt]
+    pf = DeviceChunkPrefetcher(scans, capacity=8192, chunk=4, depth=2,
+                               threads=1)
+    base = 0
+    for clouds, n_real in pf:
+        pipe.process_chunk(clouds, 0.1 * (base + np.arange(4)), n_real)
+        base += n_real
+    return pipe, scans
+
+
+def test_device_checkpoint_resume(tiny_dev_pipe, tmp_path):
+    from xchu_slam_tpu.models.device_pipeline import DeviceSlamPipeline
+    from xchu_slam_tpu.types import make_cloud
+    from xchu_slam_tpu.utils import sim
+    from xchu_slam_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    pipe, scans = tiny_dev_pipe
+    p = str(tmp_path / "dev_ckpt.npz")
+    save_checkpoint(pipe, p)
+    restored = load_checkpoint(p)
+    assert isinstance(restored, DeviceSlamPipeline)
+    np.testing.assert_array_equal(np.asarray(restored.state.db.poses),
+                                  np.asarray(pipe.state.db.poses))
+    assert int(np.asarray(restored.state.scan_count)) == \
+        int(np.asarray(pipe.state.scan_count))
+    # restored pipeline continues processing and finalizes cleanly
+    world = sim.make_world(3, extent=70.0, ground_pts=40_000)
+    gt = sim.loop_trajectory(n_scans=14, radius=30.0, speed=1.0)
+    rng = np.random.default_rng(99)
+    xyz, inten = sim.render_scan(world, gt[12], rng, n_points=6000)
+    restored.process_scan(make_cloud(xyz, inten, capacity=8192), stamp=1.2)
+    restored.finalize()
+    assert restored.scan_count == len(scans) + 1
+    assert np.isfinite(restored.odometry_trajectory()).all()
+
+
+def test_cli_run_sim_device_engine(tmp_path, capsys):
+    """CLI smoke: the on-device engine end to end (render→chunk→SLAM→export)."""
+    from xchu_slam_tpu.cli import main
+
+    out = str(tmp_path / "run")
+    main(["run-sim", "--scans", "18", "--radius", "12", "--seed", "5",
+          "--engine", "device", "--out", out,
+          "--set", "filter.max_raw_points=8192",
+          "--set", "filter.max_points=4096",
+          "--set", "filter.outlier_method=none",
+          "--set", "ndt.grid_x=48", "--set", "ndt.grid_y=48",
+          "--set", "ndt.grid_z=16",
+          "--set", "pgo.max_keyframes=64", "--set", "pgo.max_loops=8"])
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["scans"] == 18
+    assert summary["keyframes"] > 2
+    assert summary["ate_rmse_m"] < 1.0
+    for name, pth in summary["artifacts"].items():
+        assert os.path.exists(pth), name
+
+
 def test_cli_eval(tmp_path, rng, capsys):
     from xchu_slam_tpu.cli import main
 

@@ -55,26 +55,54 @@ def cmd_run_sim(args):
         "loop.icp_fitness_thresh": 0.7,
     })
     cfg = _apply_overrides(cfg, args.set)
-    pipe = SlamPipeline(cfg, kf_points=4096)
     timers = StageTimers()
 
     world = sim.make_world(args.seed, extent=args.radius * 2.5)
     gt = sim.loop_trajectory(n_scans=args.scans, radius=args.radius, speed=1.0)
     rng = np.random.default_rng(args.seed)
-    t0 = time.perf_counter()
-    for i, p in enumerate(gt):
+    os.makedirs(args.out, exist_ok=True)
+    if args.engine == "device":
+        # fully on-device engine, chunked ingest (the bench.py throughput path)
+        from xchu_slam_tpu.io.prefetch import DeviceChunkPrefetcher
+        from xchu_slam_tpu.models.device_pipeline import DeviceSlamPipeline
+
+        pipe = DeviceSlamPipeline(cfg, kf_points=4096,
+                                  log_capacity=max(args.scans, 8192))
         with timers.time("render"):
-            xyz, inten = sim.render_scan(world, p, rng, n_points=24_000)
+            scans = [sim.render_scan(world, p, rng, n_points=24_000)
+                     for p in gt]
+        t0 = time.perf_counter()
+        pf = DeviceChunkPrefetcher(scans, capacity=cfg.filter.max_raw_points,
+                                   chunk=16, depth=2, threads=2)
+        base = 0
         with timers.time("slam"):
-            out = pipe.process_scan(xyz, inten, stamp=0.1 * i)
-        if args.verbose and i % 25 == 0:
-            print(f"scan {i}: kf={pipe.kf_count} loops={pipe.loop_count}",
-                  file=sys.stderr)
-        if args.checkpoint_every and i and i % args.checkpoint_every == 0:
-            from xchu_slam_tpu.utils.checkpoint import save_checkpoint
-            save_checkpoint(pipe, os.path.join(args.out, "checkpoint.npz"))
-    pipe.finalize()
-    wall = time.perf_counter() - t0
+            for clouds, n_real in pf:
+                stamps = 0.1 * (base + np.arange(clouds.xyz.shape[0]))
+                pipe.process_chunk(clouds, stamps, n_real)
+                base += n_real
+                if args.checkpoint_every and (base // 16) % max(
+                        args.checkpoint_every // 16, 1) == 0 and base:
+                    from xchu_slam_tpu.utils.checkpoint import save_checkpoint
+                    save_checkpoint(pipe,
+                                    os.path.join(args.out, "checkpoint.npz"))
+            pipe.finalize()
+        wall = time.perf_counter() - t0
+    else:
+        pipe = SlamPipeline(cfg, kf_points=4096)
+        t0 = time.perf_counter()
+        for i, p in enumerate(gt):
+            with timers.time("render"):
+                xyz, inten = sim.render_scan(world, p, rng, n_points=24_000)
+            with timers.time("slam"):
+                pipe.process_scan(xyz, inten, stamp=0.1 * i)
+            if args.verbose and i % 25 == 0:
+                print(f"scan {i}: kf={pipe.kf_count} loops={pipe.loop_count}",
+                      file=sys.stderr)
+            if args.checkpoint_every and i and i % args.checkpoint_every == 0:
+                from xchu_slam_tpu.utils.checkpoint import save_checkpoint
+                save_checkpoint(pipe, os.path.join(args.out, "checkpoint.npz"))
+        pipe.finalize()
+        wall = time.perf_counter() - t0
 
     os.makedirs(args.out, exist_ok=True)
     paths = save_run(pipe, args.out)
@@ -104,15 +132,14 @@ def cmd_run_kitti(args):
     from xchu_slam_tpu.utils import metrics
 
     cfg = _apply_overrides(default_config(), args.set)
-    pipe = SlamPipeline(cfg, kf_points=4096)
-    pipe.defer_sync = not args.no_defer_sync
     files = kitti.list_velodyne_dir(args.velodyne_dir)
     if args.max_scans:
         files = files[:args.max_scans]
 
     # streaming ingest: staging threads read each .bin (native C++ loader when
     # available) and transfer it to the device while the previous scan computes
-    from xchu_slam_tpu.io.prefetch import DeviceScanPrefetcher, LazyScans
+    from xchu_slam_tpu.io.prefetch import (DeviceChunkPrefetcher,
+                                           DeviceScanPrefetcher, LazyScans)
 
     from xchu_slam_tpu.io import native_loader
 
@@ -121,17 +148,38 @@ def cmd_run_kitti(args):
             path, capacity=cfg.filter.max_raw_points)
         return xyz[:n], inten[:n]
 
-    pf = DeviceScanPrefetcher(LazyScans(files, _read),
-                              capacity=cfg.filter.max_raw_points,
-                              depth=6, threads=3)
-    t0 = time.perf_counter()
-    for i, cloud in enumerate(pf):
-        pipe.process_scan(cloud, None, stamp=0.1 * i)
-        if args.verbose and i % 100 == 0:
-            print(f"scan {i}/{len(files)}: kf={pipe.kf_count} "
-                  f"loops={pipe.loop_count}", file=sys.stderr)
-    pipe.finalize()
-    wall = time.perf_counter() - t0
+    if args.engine == "device":
+        from xchu_slam_tpu.models.device_pipeline import DeviceSlamPipeline
+
+        pipe = DeviceSlamPipeline(cfg, kf_points=4096,
+                                  log_capacity=max(len(files), 8192))
+        pf = DeviceChunkPrefetcher(LazyScans(files, _read),
+                                   capacity=cfg.filter.max_raw_points,
+                                   chunk=16, depth=2, threads=2)
+        t0 = time.perf_counter()
+        base = 0
+        for clouds, n_real in pf:
+            stamps = 0.1 * (base + np.arange(clouds.xyz.shape[0]))
+            pipe.process_chunk(clouds, stamps, n_real)
+            base += n_real
+            if args.verbose and (base // 16) % 10 == 0:
+                print(f"scan ~{base}/{len(files)}", file=sys.stderr)
+        pipe.finalize()
+        wall = time.perf_counter() - t0
+    else:
+        pipe = SlamPipeline(cfg, kf_points=4096)
+        pipe.defer_sync = not args.no_defer_sync
+        pf = DeviceScanPrefetcher(LazyScans(files, _read),
+                                  capacity=cfg.filter.max_raw_points,
+                                  depth=6, threads=3)
+        t0 = time.perf_counter()
+        for i, cloud in enumerate(pf):
+            pipe.process_scan(cloud, None, stamp=0.1 * i)
+            if args.verbose and i % 100 == 0:
+                print(f"scan {i}/{len(files)}: kf={pipe.kf_count} "
+                      f"loops={pipe.loop_count}", file=sys.stderr)
+        pipe.finalize()
+        wall = time.perf_counter() - t0
     os.makedirs(args.out, exist_ok=True)
     paths = save_run(pipe, args.out, to_camera_frame=True)
     summary = {
@@ -196,6 +244,9 @@ def main(argv=None):
     ps.add_argument("--loop-method", default="sc",
                     choices=["sc", "isc", "radius", "none"])
     ps.add_argument("--out", default="out/sim")
+    ps.add_argument("--engine", default="host", choices=["host", "device"],
+                    help="host: host-orchestrated pipeline; device: fully "
+                    "on-device chunked engine (highest throughput)")
     ps.add_argument("--checkpoint-every", type=int, default=0)
     ps.add_argument("--verbose", action="store_true")
     _add_config_overrides(ps)
@@ -206,6 +257,9 @@ def main(argv=None):
     pk.add_argument("--gt")
     pk.add_argument("--out", default="out/kitti")
     pk.add_argument("--max-scans", type=int, default=0)
+    pk.add_argument("--engine", default="host", choices=["host", "device"],
+                    help="host: host-orchestrated pipeline; device: fully "
+                    "on-device chunked engine (highest throughput)")
     pk.add_argument("--no-defer-sync", action="store_true",
                     help="disable one-scan host/device pipelining")
     pk.add_argument("--verbose", action="store_true")

@@ -26,12 +26,18 @@ def _flatten(prefix: str, tree) -> dict:
 
 
 def save_checkpoint(pipe, path: str) -> None:
+    """Checkpoint either pipeline flavour: the host-orchestrated SlamPipeline
+    or the fully on-device DeviceSlamPipeline (models/device_pipeline.py)."""
+    if hasattr(pipe, "state"):
+        _save_device_checkpoint(pipe, path)
+        return
     arrays = {}
     arrays.update(_flatten("db", pipe.db))
     arrays.update(_flatten("graph", pipe.graph))
     if pipe.odom_state is not None:
         arrays.update(_flatten("odom", pipe.odom_state))
     meta = {
+        "engine": "host",
         "loop_count": pipe.loop_count,
         "scan_count": pipe.scan_count,
         "kf_gate_accum": pipe.kf_gate_accum,
@@ -49,8 +55,24 @@ def save_checkpoint(pipe, path: str) -> None:
     np.savez_compressed(path, **arrays)
 
 
+def _save_device_checkpoint(pipe, path: str) -> None:
+    if pipe.state is None:
+        raise ValueError("device pipeline has no state yet (no scans fed)")
+    arrays = _flatten("state", pipe.state)
+    meta = {
+        "engine": "device",
+        "kf_points": pipe.kf_points,
+        "log_capacity": pipe.spec.log_capacity,
+        "config": pipe.cfg.to_json(),
+    }
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
 def load_checkpoint(path: str):
-    """Restore a SlamPipeline from a checkpoint file."""
+    """Restore a pipeline (SlamPipeline or DeviceSlamPipeline, per how it was
+    saved) from a checkpoint file."""
     import jax.numpy as jnp
 
     from xchu_slam_tpu.config import SlamConfig
@@ -62,6 +84,32 @@ def load_checkpoint(path: str):
     data = np.load(path)
     meta = json.loads(bytes(data["__meta__"]).decode())
     cfg = SlamConfig.from_json(meta["config"])
+
+    if meta.get("engine") == "device":
+        from xchu_slam_tpu.models.device_pipeline import (DeviceSlamPipeline,
+                                                          DevState)
+
+        dpipe = DeviceSlamPipeline(cfg, kf_points=meta["kf_points"],
+                                   log_capacity=meta["log_capacity"])
+
+        def unflatten_d(prefix, cls):
+            vals = []
+            for name in cls._fields:
+                key = f"{prefix}.{name}"
+                if key in data:
+                    vals.append(jnp.asarray(data[key]))
+                else:
+                    vals.append(unflatten_d(key, _NESTED_D[(cls.__name__, name)]))
+            return cls(*vals)
+
+        _NESTED_D = {("DevState", "odom"): odometry.OdomState,
+                     ("DevState", "db"): KfDb,
+                     ("DevState", "graph"): GraphData,
+                     ("OdomState", "grid_a"): VoxelGrid,
+                     ("OdomState", "grid_b"): VoxelGrid}
+        dpipe.state = unflatten_d("state", DevState)
+        return dpipe
+
     pipe = SlamPipeline(cfg, kf_points=meta["kf_points"])
 
     def unflatten(prefix, cls, casts=None):
