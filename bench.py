@@ -1,5 +1,6 @@
 """Benchmark: NDT odometry throughput (scans/s/chip) on synthetic KITTI-like
-scans, plus end-to-end trajectory accuracy.
+scans, plus the FULL SLAM pipeline (loop closure + pose-graph) — both as
+chunked streaming runs on whatever jax.devices() provides.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -7,29 +8,48 @@ Prints ONE JSON line:
 Baseline: the reference requires 1× KITTI bag replay = 10 scans/s on a desktop
 CPU (reference README.md:47-51; BASELINE.md). vs_baseline = value / 10.
 
-Runs on whatever jax.devices() provides (the real TPU chip under axon; CPU
-otherwise). Scan rendering is host-side and excluded from timing; the timed
-region is the real per-scan work: filter → NDT align → localmap update.
+Harness notes (axon relay to the TPU):
+- The first device→host readback permanently degrades pipelined dispatch for
+  the whole process, so each phase defers ALL readbacks until after its timed
+  region.
+- Sustained h2d streaming degrades a relay CONNECTION after ~400 MB
+  cumulative transfer (measured: 1800 → 300 scans/s over 6 consecutive
+  240-scan runs). A fresh process gets a fresh connection, so each phase runs
+  in its own subprocess and this parent only combines their JSON.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+CHUNK = 16  # 8 MB/transfer; >8 MB transfers degrade the relay immediately
 
-def main():
+
+def _sim_setup():
+    from xchu_slam_tpu.utils import sim
+
+    world = sim.make_world(7, extent=120.0, ground_pts=150_000)
+    return world
+
+
+def phase1():
+    """NDT odometry (filter → align → localmap update), chunked streaming."""
     import jax
     import jax.numpy as jnp
 
-    from xchu_slam_tpu.config import FilterConfig, NdtConfig
+    from xchu_slam_tpu.config import FilterConfig
+    from xchu_slam_tpu.io.prefetch import DeviceChunkPrefetcher
     from xchu_slam_tpu.models import odometry
     from xchu_slam_tpu.ops import ndt, voxel_map as vm
     from xchu_slam_tpu.ops.filter import filter_scan
     from xchu_slam_tpu.types import make_cloud
-    from xchu_slam_tpu.utils import metrics, sim
+    from xchu_slam_tpu.utils import metrics, se3, sim
 
     fcfg = FilterConfig(max_raw_points=32768, max_points=16384,
                         outlier_method="radius")  # scans are 24k pts
@@ -41,9 +61,8 @@ def main():
         max_localmap_size=5.0,
         recentre_margin=20.0,
     )
-
     n_scans = 120
-    world = sim.make_world(7, extent=120.0, ground_pts=150_000)
+    world = _sim_setup()
     gt = sim.loop_trajectory(n_scans=400, radius=60.0, speed=1.0)[:n_scans]
     rng = np.random.default_rng(7)
     scans = [sim.render_scan(world, p, rng, n_points=24_000) for p in gt]
@@ -52,10 +71,6 @@ def main():
     # staged 16-scan chunk — ONE h2d transfer + ONE dispatch per chunk; the
     # relay link costs ~0.3 ms fixed latency per transfer, which bounds
     # per-scan staging at ~1.2k scans/s while the device sustains ~12k)
-    from xchu_slam_tpu.io.prefetch import DeviceChunkPrefetcher
-
-    CHUNK = 16  # 8 MB/transfer; >8 MB transfers degrade the relay
-
     xyz0, int0 = scans[0]
     cl0 = make_cloud(xyz0, int0, capacity=fcfg.max_raw_points)
     filt = filter_scan(cl0, fcfg)
@@ -66,21 +81,9 @@ def main():
         state, out_w = odometry.chunk_step(state, clouds_w, fcfg, ospec)
     jax.block_until_ready(out_w.pose)
 
-    # timed run (fresh state, all scans); best-of-3 repeats — the host↔TPU
-    # tunnel has multi-hundred-ms latency spikes that would otherwise swamp
-    # the ~1-2 ms/scan device time.
-    #
-    # CRITICAL: no device→host readback may happen before or during the timed
-    # loops. The first readback permanently switches the axon relay out of
-    # pipelined dispatch (measured: ~900 → ~53 scans/s for this program, in
-    # ANY subsequent dispatch in the process), so all accuracy bookkeeping
-    # reads happen after the last timed region.
-    from xchu_slam_tpu.utils import se3
-
+    # timed: best-of-3; no readbacks before/during the timed loops
     best_dt = float("inf")
     for _rep in range(3):
-        # streaming path: staging threads transfer chunk k+1.. while the
-        # device computes chunk k (io/prefetch.py — the reader-node analogue)
         pf = DeviceChunkPrefetcher(scans[1:], capacity=fcfg.max_raw_points,
                                    chunk=CHUNK, depth=2, threads=2)
         filt = filter_scan(cl0, fcfg)
@@ -92,20 +95,33 @@ def main():
             chunk_poses.append((outs.pose, n_real))
         chunk_poses[-1][0].block_until_ready()
         rep_dt = time.perf_counter() - t0
-        import sys as _sys
-        print(f"rep {(n_scans-1)/rep_dt:.1f} scans/s", file=_sys.stderr)
+        print(f"rep {(n_scans-1)/rep_dt:.1f} scans/s", file=sys.stderr)
         best_dt = min(best_dt, rep_dt)
 
-    scans_per_sec = (n_scans - 1) / best_dt
+    # readbacks (end of the timed region)
+    gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
+    gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)[:, :3, 3]
+    est = np.vstack([np.zeros((1, 6), np.float32)]
+                    + [np.asarray(p)[:n] for p, n in chunk_poses])
+    ate = metrics.ape_rmse(est[:, :3], gt_rel[:len(est)], align=False)
+    print(json.dumps({
+        "scans_per_sec": round((n_scans - 1) / best_dt, 2),
+        "ate_m": round(float(ate), 4),
+        "n_scans": n_scans,
+        "backend": jax.devices()[0].platform,
+    }))
 
-    # ---- phase 2: FULL pipeline (filter→odom→SC loops→ICP→PGO) on a
-    # closed circuit with genuine revisits, as ONE on-device program per scan
-    # (models/device_pipeline.py) — keyframe gating, descriptors, retrieval,
-    # ICP verification, and the pose-graph solve all run under lax.cond on
-    # device, so the host dispatches blind and NOTHING is read back until
-    # after the timed region (readbacks also poison dispatch, see above).
+
+def phase2():
+    """FULL pipeline (filter→odom→SC loops→ICP→PGO) on a closed circuit with
+    genuine revisits, as chunked on-device programs (models/device_pipeline)."""
+    import jax
+    import jax.numpy as jnp
+
     from xchu_slam_tpu.config import default_config
+    from xchu_slam_tpu.io.prefetch import DeviceChunkPrefetcher
     from xchu_slam_tpu.models.device_pipeline import DeviceSlamPipeline
+    from xchu_slam_tpu.utils import metrics, se3, sim
 
     cfg = default_config().override({
         "filter.max_raw_points": 32768,
@@ -116,24 +132,28 @@ def main():
         "loop.submap_half_width": 10,
     })
     n_full = 240  # perimeter(30) ≈ 211 m → wraps ~30 m past the start
+    world = _sim_setup()
     gt2 = sim.loop_trajectory(n_scans=n_full, radius=30.0, speed=1.0)
     rng2 = np.random.default_rng(11)
     full_scans = [sim.render_scan(world, p, rng2, n_points=24_000) for p in gt2]
+
     # warm the compile cache on a throwaway pipeline (same static shapes);
     # lax.cond compiles every branch, so one chunk covers the whole program.
-    # block_until_ready only — no device_get before the timed reps.
     warm = DeviceSlamPipeline(cfg, kf_points=4096)
-    pfw2 = DeviceChunkPrefetcher(full_scans[:CHUNK], capacity=fcfg.max_raw_points,
-                                 chunk=CHUNK, depth=2, threads=2)
-    for clouds, n_real in pfw2:
+    pfw = DeviceChunkPrefetcher(full_scans[:CHUNK],
+                                capacity=cfg.filter.max_raw_points,
+                                chunk=CHUNK, depth=2, threads=2)
+    for clouds, n_real in pfw:
         warm.process_chunk(clouds, 0.1 * np.arange(CHUNK, dtype=np.float32),
                            n_real)
     jax.block_until_ready(warm.state.log)
 
     dt_full = float("inf")
+    pipe = None
     for _rep in range(2):
         pipe = DeviceSlamPipeline(cfg, kf_points=4096)
-        pf2 = DeviceChunkPrefetcher(full_scans, capacity=fcfg.max_raw_points,
+        pf2 = DeviceChunkPrefetcher(full_scans,
+                                    capacity=cfg.filter.max_raw_points,
                                     chunk=CHUNK, depth=2, threads=2)
         t1 = time.perf_counter()
         base = 0
@@ -142,37 +162,68 @@ def main():
             pipe.process_chunk(clouds, stamps, n_real)
             base += n_real
         jax.block_until_ready(pipe.state.log)
-        dt_full = min(dt_full, time.perf_counter() - t1)
+        rep_dt = time.perf_counter() - t1
+        print(f"rep {n_full/rep_dt:.1f} scans/s (full)", file=sys.stderr)
+        dt_full = min(dt_full, rep_dt)
 
-    # ---- everything below reads back (end of all timed regions) --------- #
+    # readbacks (end of the timed region)
     pipe.finalize()
-    gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
-    gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)[:, :3, 3]
-    est = np.vstack([np.zeros((1, 6), np.float32)]
-                    + [np.asarray(p)[:n] for p, n in chunk_poses])
-    ate = metrics.ape_rmse(est[:, :3], gt_rel[:len(est)], align=False)
     gtT2 = np.asarray(se3.pose_to_matrix(jnp.asarray(gt2)))
     gt2_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT2[0]), gtT2)[:, :3, 3]
     stamps, _kf_odo, kf_opt = pipe.keyframe_trajectory()
     idx = np.round(stamps / 0.1).astype(int)
     ate_full = metrics.ape_rmse(kf_opt[:, :3], gt2_rel[idx], align=False)
+    print(json.dumps({
+        "scans": n_full,
+        "scans_per_sec": round(n_full / dt_full, 2),
+        "keyframes": int(pipe.db.count),
+        "loops": pipe.loop_count,
+        "ate_m": round(float(ate_full), 4),
+    }))
 
+
+def _run_phase(name: str) -> dict:
+    """Run one phase in a subprocess (fresh relay connection) and parse its
+    final JSON line. Falls back to in-process execution if spawning fails."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), name],
+            capture_output=True, text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        sys.stderr.write(proc.stderr[-2000:])
+        line = [l for l in proc.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        return json.loads(line)
+    except Exception as e:  # pragma: no cover
+        print(f"subprocess {name} failed ({e}); running in-process",
+              file=sys.stderr)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            globals()[name]()
+        line = [l for l in buf.getvalue().strip().splitlines()
+                if l.startswith("{")][-1]
+        return json.loads(line)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] in ("phase1", "phase2"):
+        globals()[sys.argv[1]]()
+        return
+    r1 = _run_phase("phase1")
+    r2 = _run_phase("phase2")
     print(json.dumps({
         "metric": "ndt_odometry_scans_per_sec",
-        "value": round(scans_per_sec, 2),
+        "value": r1["scans_per_sec"],
         "unit": "scans/s/chip",
-        "vs_baseline": round(scans_per_sec / 10.0, 2),
+        "vs_baseline": round(r1["scans_per_sec"] / 10.0, 2),
         "extra": {
-            "odometry_ate_m": round(float(ate), 4),
-            "n_scans": n_scans,
-            "backend": jax.devices()[0].platform,
-            "full_pipeline": {
-                "scans": n_full,
-                "scans_per_sec": round(n_full / dt_full, 2),
-                "keyframes": int(pipe.db.count),
-                "loops": pipe.loop_count,
-                "ate_m": round(float(ate_full), 4),
-            },
+            "odometry_ate_m": r1["ate_m"],
+            "n_scans": r1["n_scans"],
+            "backend": r1["backend"],
+            "full_pipeline": r2,
         },
     }))
 
