@@ -193,6 +193,47 @@ def test_cli_run_sim_device_engine(tmp_path, capsys):
         assert os.path.exists(pth), name
 
 
+@pytest.mark.parametrize("engine", ["host", "device"])
+def test_cli_run_kitti_end_to_end(tmp_path, capsys, engine):
+    """CLI run-kitti on synthetic velodyne .bin files: native/NumPy loader →
+    (chunked) ingest → SLAM → camera-frame export → GT evaluation."""
+    import jax.numpy as jnp
+
+    from xchu_slam_tpu.cli import main
+    from xchu_slam_tpu.utils import se3, sim
+
+    world = sim.make_world(3, extent=70.0, ground_pts=40_000)
+    gt = sim.loop_trajectory(n_scans=18, radius=12.0, speed=1.0)
+    rng_ = np.random.default_rng(7)
+    vdir = tmp_path / "velodyne"
+    vdir.mkdir()
+    for i, p in enumerate(gt):
+        xyz, inten = sim.render_scan(world, p, rng_, n_points=6000)
+        np.c_[xyz, inten].astype(np.float32).tofile(str(vdir / f"{i:06d}.bin"))
+    # KITTI-format GT (per scan, camera frame — mirrors the exporter)
+    gtT = kitti.velo_to_cam(np.asarray(se3.pose_to_matrix(jnp.asarray(gt))))
+    gt_file = str(tmp_path / "gt.txt")
+    with open(gt_file, "w") as f:
+        for T in gtT:
+            f.write(" ".join(f"{v:.9f}" for v in T[:3].reshape(-1)) + "\n")
+
+    out = str(tmp_path / f"run_{engine}")
+    main(["run-kitti", "--velodyne-dir", str(vdir), "--gt", gt_file,
+          "--out", out, "--engine", engine,
+          "--set", "filter.max_raw_points=8192",
+          "--set", "filter.max_points=4096",
+          "--set", "filter.outlier_method=none",
+          "--set", "ndt.grid_x=48", "--set", "ndt.grid_y=48",
+          "--set", "ndt.grid_z=16",
+          "--set", "pgo.max_keyframes=64", "--set", "pgo.max_loops=8"])
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["scans"] == 18
+    assert summary["keyframes"] > 2
+    assert summary["ate_rmse_m"] < 1.0
+    for name, pth in summary["artifacts"].items():
+        assert os.path.exists(pth), name
+
+
 def test_cli_eval(tmp_path, rng, capsys):
     from xchu_slam_tpu.cli import main
 

@@ -191,10 +191,13 @@ def cmd_run_kitti(args):
     }
     if args.gt:
         gt_poses = kitti.read_kitti_poses(args.gt)
-        _st, poses = kitti.read_tum(paths["odom_tum"])
-        n = min(len(gt_poses), len(poses))
+        st, poses = kitti.read_tum(paths["odom_tum"])
+        # keyframe rows carry the scan stamp (0.1 s per scan) — index the
+        # per-scan GT rows by scan, not by keyframe position
+        idx = np.clip(np.round(np.asarray(st) * 10.0).astype(int),
+                      0, len(gt_poses) - 1)
         summary["ate_rmse_m"] = round(metrics.ape_rmse(
-            poses[:n, :3, 3], gt_poses[:n, :3, 3]), 4)
+            poses[:, :3, 3], gt_poses[idx][:, :3, 3]), 4)
     print(json.dumps(summary, indent=2))
 
 
