@@ -122,3 +122,71 @@ def test_sharded_pgo_solve_matches_single(rng):
     drift_after = np.linalg.norm(got[n - 1, :3] - gt[n - 1, :3])
     drift_before = np.linalg.norm(poses[n - 1, :3] - gt[n - 1, :3])
     assert drift_after < 0.3 * drift_before
+
+
+@needs_devices
+def test_slam_superstep_matches_components(rng):
+    """ONE-program multi-chip superstep (align + descriptor/retrieval + graph
+    solve) must agree with the single-device component results."""
+    from tests.test_ndt import build_grid, make_world
+
+    world = make_world(rng)
+    grid = build_grid(world)
+    n = 2048
+    src = jnp.asarray(world[rng.choice(len(world), n, replace=False)])
+    mask = jnp.ones(n, bool)
+    init = jnp.array([0.3, -0.2, 0.0, 0.0, 0.0, 0.02], jnp.float32)
+
+    spec = sc.ScSpec(num_exclude_recent=4)
+    K = 32
+    db_np = rng.uniform(0, 2, (K, spec.num_ring, spec.num_sector)).astype(np.float32)
+    # plant the query descriptor (rotated) at index 3 so retrieval must find it
+    query_desc = sc.make_descriptor(src, mask, spec)
+    db_np[3] = np.roll(np.asarray(query_desc), 7, axis=1)
+    db = jnp.asarray(db_np)
+
+    gsp = pg.GraphSpec(max_keyframes=K, max_loops=8,
+                       odom_info_t=100.0, odom_info_r=100.0,
+                       gn_iterations=3, cg_iterations=30)
+    graph = pg.empty_graph(gsp)
+    poses = np.zeros((K, 6), np.float32)
+    poses[:, 0] = np.arange(K, dtype=np.float32) * 1.05
+    between = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    between[:, 0, 3] = 1.0
+    li = np.zeros(8, np.int32); lj = np.zeros(8, np.int32)
+    lT = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    lT[0, 0, 3] = float(K - 1)
+    linfo = np.zeros(8, np.float32); lmask = np.zeros(8, bool)
+    li[0], lj[0], linfo[0], lmask[0] = 0, K - 1, 10.0, True
+    graph = graph._replace(
+        between_T=jnp.asarray(between), kf_mask=jnp.ones(K, bool),
+        loop_i=jnp.asarray(li), loop_j=jnp.asarray(lj),
+        loop_T=jnp.asarray(lT), loop_info=jnp.asarray(linfo),
+        loop_mask=jnp.asarray(lmask))
+
+    mesh = sharded.make_mesh(8)
+    pose, iters, desc, cand, opt = sharded.slam_superstep(
+        mesh, grid, src, mask, init, GSPEC, NSPEC, db, K, spec,
+        jnp.asarray(poses), graph, gsp)
+
+    # 1. alignment recovers the identity pose (same tolerances as the
+    #    dedicated sharded-NDT test)
+    p_ = np.asarray(pose)
+    np.testing.assert_allclose(p_[[0, 1]], 0.0, atol=0.05)
+    np.testing.assert_allclose(p_[3:], 0.0, atol=0.02)
+
+    # 2. pmax-composed descriptor equals the single-device scatter-max
+    np.testing.assert_allclose(np.asarray(desc), np.asarray(query_desc),
+                               atol=1e-6)
+
+    # 3. retrieval finds the planted match with the planted rotation
+    dist, idx, shift = float(cand[0]), int(cand[1]), int(cand[2])
+    assert idx == 3 and dist < spec.dist_thresh
+    # db[3] = roll(query, +7): the matching shift s satisfies
+    # roll(db[3], s) == query, i.e. s ≡ -7 (mod S)
+    assert (-shift) % spec.num_sector == 7
+
+    # 4. factor-sharded solve equals the single-device solve
+    ref_opt = pg.solve(jnp.asarray(poses), graph, gsp)
+    np.testing.assert_allclose(np.asarray(opt), np.asarray(ref_opt),
+                               atol=5e-3)

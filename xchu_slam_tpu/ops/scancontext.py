@@ -51,9 +51,13 @@ def spec_from_config(sc_cfg) -> ScSpec:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def make_descriptor(xyz, mask, spec: ScSpec) -> jnp.ndarray:
-    """Polar max-height image [R, S] (reference makeScancontext, :151-195)."""
+def descriptor_partial(xyz, mask, spec: ScSpec) -> jnp.ndarray:
+    """Scatter-max polar height image [R, S] with empty bins at -inf.
+
+    The partial form composes across shards: bin each point shard locally,
+    `lax.pmax` the images over the mesh, then clean with
+    `finalize_descriptor` — the SPMD analogue of makeScancontext
+    (parallel/sharded.slam_superstep)."""
     r = jnp.linalg.norm(xyz[:, :2], axis=-1)
     theta = jnp.arctan2(xyz[:, 1], xyz[:, 0]) + jnp.pi  # [0, 2π)
     ring = jnp.floor(r / spec.max_radius * spec.num_ring).astype(jnp.int32)
@@ -65,8 +69,17 @@ def make_descriptor(xyz, mask, spec: ScSpec) -> jnp.ndarray:
     z = jnp.where(ok, xyz[:, 2] + spec.lidar_height, -jnp.inf)
     img = jnp.full((spec.num_ring * spec.num_sector + 1,), -jnp.inf, jnp.float32)
     img = img.at[flat].max(z)
-    img = img[:-1].reshape(spec.num_ring, spec.num_sector)
+    return img[:-1].reshape(spec.num_ring, spec.num_sector)
+
+
+def finalize_descriptor(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isfinite(img), img, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def make_descriptor(xyz, mask, spec: ScSpec) -> jnp.ndarray:
+    """Polar max-height image [R, S] (reference makeScancontext, :151-195)."""
+    return finalize_descriptor(descriptor_partial(xyz, mask, spec))
 
 
 def ring_key(desc: jnp.ndarray) -> jnp.ndarray:

@@ -140,21 +140,10 @@ def sharded_sc_detect(mesh: Mesh, query, db, db_count, spec: sc.ScSpec):
 # --------------------------------------------------------------------------- #
 
 
-def sharded_pgo_solve(mesh: Mesh, poses6, graph, spec):
-    """Full pose-graph Gauss-Newton+CG solve with FACTORS sharded over the
-    mesh (poses replicated): each device evaluates residuals/Jacobian products
-    for its shard of between/loop/GPS factors; gradients, Hessian-vector
-    products, and preconditioner blocks are combined with deterministic
-    all-gather-sum reductions so every device runs an identical CG loop and
-    holds identical optimized poses (SURVEY.md §2d P4/P5, §5 long-context:
-    the keyframe/factor axis is the sharding axis of the backend)."""
+def _make_pgo_body(axis: str, spec, K: int, L: int, D: int):
+    """Factory for the factor-sharded pose-graph solve body (shared by
+    `sharded_pgo_solve` and `slam_superstep`)."""
     from xchu_slam_tpu.models import pose_graph as pg
-
-    axis = mesh.axis_names[0]
-    K = poses6.shape[0]
-    L = graph.loop_i.shape[0]
-    D = mesh.devices.size
-    assert K % D == 0 and L % D == 0, (K, L, D)
 
     def allred(x):
         return jnp.sum(jax.lax.all_gather(x, axis), 0)
@@ -280,16 +269,42 @@ def sharded_pgo_solve(mesh: Mesh, poses6, graph, spec):
         Ts, _ = jax.lax.scan(gn_iter, Ts0, None, length=spec.gn_iterations)
         return se3.matrix_to_pose(Ts)
 
+    return body
+
+
+def _pgo_inputs(graph, K: int, D: int):
     ebase = jnp.arange(0, K, K // D, dtype=jnp.int32).reshape(D, 1)
     gbase = jnp.array(ebase)
     pairmask = jnp.concatenate(
         [jnp.zeros(1, bool), graph.kf_mask[:-1] & graph.kf_mask[1:]])
+    return ebase, gbase, pairmask
+
+
+_PGO_IN_SPECS = lambda axis: (P(), P(axis, None, None), P(axis), P(axis),
+                              P(axis), P(axis), P(axis, None, None), P(axis),
+                              P(axis), P(axis), P(axis), P(axis))
+
+
+def sharded_pgo_solve(mesh: Mesh, poses6, graph, spec):
+    """Full pose-graph Gauss-Newton+CG solve with FACTORS sharded over the
+    mesh (poses replicated): each device evaluates residuals/Jacobian products
+    for its shard of between/loop/GPS factors; gradients, Hessian-vector
+    products, and preconditioner blocks are combined with deterministic
+    all-gather-sum reductions so every device runs an identical CG loop and
+    holds identical optimized poses (SURVEY.md §2d P4/P5, §5 long-context:
+    the keyframe/factor axis is the sharding axis of the backend)."""
+    axis = mesh.axis_names[0]
+    K = poses6.shape[0]
+    L = graph.loop_i.shape[0]
+    D = mesh.devices.size
+    assert K % D == 0 and L % D == 0, (K, L, D)
+
+    body = _make_pgo_body(axis, spec, K, L, D)
+    ebase, gbase, pairmask = _pgo_inputs(graph, K, D)
 
     f = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(axis, None, None), P(axis), P(axis),
-                  P(axis), P(axis), P(axis, None, None), P(axis), P(axis),
-                  P(axis), P(axis), P(axis)),
+        in_specs=_PGO_IN_SPECS(axis),
         out_specs=P(),
         check_vma=False,
     )
@@ -298,6 +313,92 @@ def sharded_pgo_solve(mesh: Mesh, poses6, graph, spec):
                      graph.loop_info, graph.loop_mask,
                      graph.gps_alt, graph.gps_mask & graph.kf_mask, gbase)
     return jnp.where(graph.kf_mask[:, None], out, poses6)
+
+
+# --------------------------------------------------------------------------- #
+# full multi-chip SLAM superstep — ONE program, three sharding regimes
+# --------------------------------------------------------------------------- #
+
+
+def slam_superstep(mesh: Mesh, grid, src_xyz, src_mask, pose_guess,
+                   gspec: vm.GridSpec, nspec: ndt.NdtSpec,
+                   db, db_count, scspec: sc.ScSpec,
+                   poses6, graph, pgspec):
+    """ONE jit-compiled multi-chip SLAM step composing all three parallel
+    regimes in a single `shard_map` program (SURVEY.md §2d P1/P4/P5):
+
+      1. NDT alignment with the scan's POINTS sharded over the mesh (psum'd
+         score/∇/H — the OMP-reduction analogue),
+      2. Scan Context descriptor of the scan built by per-shard scatter-max +
+         `pmax` over the mesh, retrieved against the KEYFRAME-sharded
+         descriptor DB (local all-rotation MXU scoring + all_gather of
+         per-device minima),
+      3. full pose-graph Gauss-Newton+CG solve with FACTORS sharded over the
+         mesh (deterministic all-gather-sum reductions; identical CG on all
+         devices).
+
+    Returns (pose, iterations, descriptor, (dist, idx, shift), opt_poses),
+    all replicated. This is the program `__graft_entry__.dryrun_multichip`
+    compiles and runs over the virtual mesh."""
+    axis = mesh.axis_names[0]
+    d1, d2 = ndt.gauss_constants(nspec.outlier_ratio, nspec.resolution)
+    K_db = db.shape[0]
+    D = mesh.devices.size
+    shard = K_db // D
+    Kp = poses6.shape[0]
+    L = graph.loop_i.shape[0]
+    assert K_db % D == 0 and Kp % D == 0 and L % D == 0, (K_db, Kp, L, D)
+
+    pgo_body = _make_pgo_body(axis, pgspec, Kp, L, D)
+    ebase, gbase, pairmask = _pgo_inputs(graph, Kp, D)
+
+    def body(grid, xyz, mask, pose0, db_local, count, *pgo_args):
+        # -- 1. points-sharded NDT align -------------------------------- #
+        def loss(p):
+            return ndt.ndt_loss(p, xyz, mask, grid, gspec, d1, d2,
+                                psum_axis=axis)
+
+        def bcast(x):
+            return jax.lax.all_gather(x, axis)[0]
+
+        pose, iters, _conv = ndt.newton_align(loss, pose0, nspec, bcast=bcast)
+
+        # -- 2. descriptor (pmax of per-shard scatter-max) + retrieval -- #
+        part = sc.descriptor_partial(xyz, mask, scspec)
+        desc = sc.finalize_descriptor(jax.lax.pmax(part, axis))
+
+        me = jax.lax.axis_index(axis)
+        base = me * shard
+        idxs = base + jnp.arange(shard)
+        eligible = idxs < (count[0] - scspec.num_exclude_recent)
+        dist, shift = sc.distance_all_rotations(desc, db_local, eligible,
+                                                scspec)
+        li = jnp.argmin(dist)
+        local = jnp.stack([dist[li], (base + li).astype(jnp.float32),
+                           shift[li].astype(jnp.float32)])
+        allv = jax.lax.all_gather(local, axis)
+        cand = allv[jnp.argmin(allv[:, 0])]
+
+        # -- 3. factor-sharded pose-graph solve ------------------------- #
+        opt = pgo_body(*pgo_args)
+        return pose, iters, desc, cand, opt
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(_replicated(grid), P(axis, None), P(axis), P(),
+                  P(axis, None, None), P()) + _PGO_IN_SPECS(axis),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    pose, iters, desc, cand, opt = jax.jit(f)(
+        grid, src_xyz, src_mask, pose_guess,
+        db, jnp.asarray([db_count], jnp.int32),
+        poses6, graph.between_T, pairmask, ebase,
+        graph.loop_i, graph.loop_j, graph.loop_T,
+        graph.loop_info, graph.loop_mask,
+        graph.gps_alt, graph.gps_mask & graph.kf_mask, gbase)
+    opt = jnp.where(graph.kf_mask[:, None], opt, poses6)
+    return pose, iters, desc, cand, opt
 
 
 def sharded_pgo_hvp_demo(mesh: Mesh, poses6, graph, spec):
