@@ -49,6 +49,8 @@ def cmd_run_sim(args):
 
     cfg = default_config().override({
         "filter.max_points": 8192,
+        "filter.max_raw_points": 32768,  # sim scans are ≤24k pts; tight
+        # staging capacity keeps chunk transfers at the measured link sweet spot
         "loop.method": args.loop_method,
         "pgo.odom_noise_trans": 1e-3,
         "pgo.odom_noise_rot": 1e-3,
@@ -57,9 +59,20 @@ def cmd_run_sim(args):
     cfg = _apply_overrides(cfg, args.set)
     timers = StageTimers()
 
-    world = sim.make_world(args.seed, extent=args.radius * 2.5)
-    gt = sim.loop_trajectory(n_scans=args.scans, radius=args.radius, speed=1.0)
+    if args.trajectory:
+        # simulate along a real ground-truth trajectory (TUM camera-frame
+        # file, e.g. KITTI 00) — real street/loop geometry, corridor world
+        gt = sim.tum_trajectory_poses(args.trajectory, max_scans=args.scans)
+        world = sim.make_world_along(gt[:, :3], args.seed)
+        index = sim.WorldIndex(world)
+    else:
+        n_scans = args.scans or 400
+        world = sim.make_world(args.seed, extent=args.radius * 2.5)
+        gt = sim.loop_trajectory(n_scans=n_scans, radius=args.radius,
+                                 speed=1.0)
+        index = None
     rng = np.random.default_rng(args.seed)
+    n_scans = len(gt)
     os.makedirs(args.out, exist_ok=True)
     if args.engine == "device":
         # fully on-device engine, chunked ingest (the bench.py throughput path)
@@ -67,10 +80,12 @@ def cmd_run_sim(args):
         from xchu_slam_tpu.models.device_pipeline import DeviceSlamPipeline
 
         pipe = DeviceSlamPipeline(cfg, kf_points=4096,
-                                  log_capacity=max(args.scans, 8192))
-        with timers.time("render"):
-            scans = [sim.render_scan(world, p, rng, n_points=24_000)
-                     for p in gt]
+                                  log_capacity=max(n_scans, 8192))
+        # lazy render: the prefetcher's staging threads render scans, so host
+        # rendering overlaps device compute (and a KITTI-length sequence is
+        # never resident at once)
+        scans = sim.RenderedScans(world, gt, seed=args.seed,
+                                  n_points=24_000, index=index)
         t0 = time.perf_counter()
         pf = DeviceChunkPrefetcher(scans, capacity=cfg.filter.max_raw_points,
                                    chunk=16, depth=2, threads=2)
@@ -92,7 +107,8 @@ def cmd_run_sim(args):
         t0 = time.perf_counter()
         for i, p in enumerate(gt):
             with timers.time("render"):
-                xyz, inten = sim.render_scan(world, p, rng, n_points=24_000)
+                xyz, inten = sim.render_scan(world, p, rng, n_points=24_000,
+                                             index=index)
             with timers.time("slam"):
                 pipe.process_scan(xyz, inten, stamp=0.1 * i)
             if args.verbose and i % 25 == 0:
@@ -108,16 +124,22 @@ def cmd_run_sim(args):
     paths = save_run(pipe, args.out)
 
     gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
-    gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)[:, :3, 3]
+    gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)
     stamps, kf_odo, kf_opt = pipe.keyframe_trajectory()
     idx = np.round(stamps / 0.1).astype(int)
-    ate = metrics.ape_rmse(kf_opt[:, :3], gt_rel[idx], align=False)
+    estT = np.asarray(se3.pose_to_matrix(jnp.asarray(kf_opt)))
+    ate = metrics.ape_rmse(kf_opt[:, :3], gt_rel[idx, :3, 3], align=False)
+    drift, length = metrics.end_drift(kf_opt[:, :3], gt_rel[idx, :3, 3])
     summary = {
-        "scans": args.scans,
+        "scans": n_scans,
         "keyframes": pipe.kf_count,
         "loops": pipe.loop_count,
         "ate_rmse_m": round(float(ate), 4),
-        "scans_per_sec": round(args.scans / wall, 2),
+        "rpe_rmse_m": round(metrics.rpe_rmse(estT, gt_rel[idx]), 4),
+        "end_drift_m": round(drift, 3),
+        "length_m": round(length, 1),
+        "drift_pct": round(100.0 * drift / max(length, 1e-9), 3),
+        "scans_per_sec": round(n_scans / wall, 2),
         "artifacts": paths,
     }
     print(json.dumps(summary, indent=2))
@@ -240,9 +262,15 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="xchu_slam_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    ps = sub.add_parser("run-sim", help="run SLAM on a synthetic circuit")
-    ps.add_argument("--scans", type=int, default=400)
+    ps = sub.add_parser("run-sim", help="run SLAM on a synthetic circuit, or "
+                        "along a real GT trajectory (--trajectory)")
+    ps.add_argument("--scans", type=int, default=0,
+                    help="scan count (0 = 400 for the circuit, full length "
+                    "for --trajectory)")
     ps.add_argument("--radius", type=float, default=55.0)
+    ps.add_argument("--trajectory", default="",
+                    help="TUM camera-frame GT file (e.g. KITTI 00): simulate "
+                    "scans along the real trajectory in a corridor world")
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--loop-method", default="sc",
                     choices=["sc", "isc", "radius", "none"])

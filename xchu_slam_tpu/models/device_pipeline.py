@@ -99,8 +99,12 @@ class DevState(NamedTuple):
     last_kf_odom: jnp.ndarray  # f32[6] — odometric pose at last keyframe
     loop_count: jnp.ndarray    # i32
     scan_count: jnp.ndarray    # i32
-    log: jnp.ndarray           # f32[LOG,11]: pose6, iters, fitness, mfrac,
-    #                                         is_kf, stamp
+    log: jnp.ndarray           # f32[LOG,16]: pose6, iters, fitness, mfrac,
+    #                            is_kf, stamp, + loop diagnostics: cand idx,
+    #                            retrieval found, icp fitness, icp correction,
+    #                            verify ran (the reference's loop accept/reject
+    #                            console logs, pgo_node.cpp:444-447, as data)
+    diag: jnp.ndarray          # f32[5] — per-scan loop diagnostics scratch
 
 
 def _sc_radius_candidate(state: DevState, k, stamp, spec: DevSpec):
@@ -152,6 +156,8 @@ def _verify_and_apply(state: DevState, k, cand, spec: DevSpec) -> DevState:
         ok = ((res.fitness <= spec.icp_fitness_thresh)
               & (corr <= spec.max_correction)
               & (state.loop_count < spec.gspec.max_loops))
+        state = state._replace(diag=state.diag.at[2].set(res.fitness)
+                               .at[3].set(corr).at[4].set(1.0))
 
         def apply(state: DevState) -> DevState:
             q = state.loop_count
@@ -241,6 +247,9 @@ def _add_keyframe_branch(state: DevState, filt: Cloud, pose, stamp,
         def detect(state: DevState) -> DevState:
             cand, found = _detect_candidate(state, k, stamp, spec)
             cand = jnp.where(found, cand, jnp.int32(-1))
+            state = state._replace(
+                diag=state.diag.at[0].set(cand.astype(jnp.float32))
+                .at[1].set(found.astype(jnp.float32)))
             return _verify_and_apply(state, k, cand, spec)
 
         state = jax.lax.cond(do_detect, detect, lambda s: s, state)
@@ -255,8 +264,12 @@ def device_step(state: DevState, cloud: Cloud, stamp, gps_alt, gps_valid,
     return _device_step_body(state, cloud, stamp, gps_alt, gps_valid, spec)
 
 
+_DIAG_RESET = np.array([-1.0, 0.0, 0.0, 0.0, 0.0], np.float32)
+
+
 def _device_step_body(state: DevState, cloud: Cloud, stamp, gps_alt,
                       gps_valid, spec: DevSpec) -> DevState:
+    state = state._replace(diag=jnp.asarray(_DIAG_RESET))
     filt = filter_scan(cloud, spec.fcfg)
     prev_pose = state.odom.pose
     new_odom, out = odometry.step(state.odom, filt.xyz, filt.mask, spec.ospec)
@@ -283,6 +296,7 @@ def _device_step_body(state: DevState, cloud: Cloud, stamp, gps_alt,
         jnp.stack([out.iterations.astype(jnp.float32), out.fitness,
                    out.matched_frac, is_kf.astype(jnp.float32),
                    jnp.asarray(stamp, jnp.float32)]),
+        state.diag,
     ])
     slot = state.scan_count % spec.log_capacity
     return state._replace(
@@ -331,7 +345,8 @@ def init_state(spec: DevSpec, cloud0: Cloud, stamp0, cfg: SlamConfig) -> DevStat
         last_kf_odom=jnp.zeros(6, jnp.float32),
         loop_count=jnp.int32(0),
         scan_count=jnp.int32(0),
-        log=jnp.zeros((spec.log_capacity, 11), jnp.float32),
+        log=jnp.zeros((spec.log_capacity, 16), jnp.float32),
+        diag=jnp.asarray(_DIAG_RESET),
     )
     state = _seed_first_kf(state, cloud0, jnp.float32(stamp0), spec)
     return state
@@ -347,7 +362,7 @@ def _seed_first_kf(state: DevState, cloud0: Cloud, stamp0,
                                  jnp.float32(0.0), jnp.bool_(False), spec)
     row = jnp.concatenate(
         [pose0, jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32),
-         jnp.asarray(stamp0, jnp.float32)[None]])
+         jnp.asarray(stamp0, jnp.float32)[None], jnp.asarray(_DIAG_RESET)])
     return state._replace(log=state.log.at[0].set(row),
                           scan_count=jnp.int32(1))
 
@@ -440,7 +455,14 @@ class DeviceSlamPipeline:
             {"stamp": float(log[i, 10]), "pose": log[i, :6],
              "iterations": int(log[i, 6]), "fitness": float(log[i, 7]),
              "matched_frac": float(log[i, 8]),
-             "keyframe": bool(log[i, 9] > 0.5)}
+             "keyframe": bool(log[i, 9] > 0.5),
+             # loop diagnostics — the reference's accept/reject console logs
+             # (pgo_node.cpp:444-447) as data
+             "loop_cand": int(log[i, 11]),
+             "loop_found": bool(log[i, 12] > 0.5),
+             "loop_icp_fitness": float(log[i, 13]),
+             "loop_icp_correction": float(log[i, 14]),
+             "loop_verify_ran": bool(log[i, 15] > 0.5)}
             for i in range(n)
         ]
         self.loops = [

@@ -116,6 +116,197 @@ def loop_trajectory(
     return poses
 
 
+def _decimate_by_arclen(path_xy_or_xyz: np.ndarray, step: float) -> np.ndarray:
+    """Indices of path samples ~`step` metres apart along cumulative arclength."""
+    p = np.asarray(path_xy_or_xyz, np.float64)[:, :2]
+    seg = np.linalg.norm(np.diff(p, axis=0), axis=1)
+    arc = np.concatenate([[0.0], np.cumsum(seg)])
+    want = np.arange(0.0, arc[-1], step)
+    return np.unique(np.searchsorted(arc, want))
+
+
+def _quat_to_matrix(q: np.ndarray) -> np.ndarray:
+    """Unit quaternions [N,4] (x,y,z,w — TUM order) → rotations [N,3,3]."""
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty((len(q), 3, 3), np.float64)
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - z * w)
+    R[:, 0, 2] = 2 * (x * z + y * w)
+    R[:, 1, 0] = 2 * (x * y + z * w)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - x * w)
+    R[:, 2, 0] = 2 * (x * z - y * w)
+    R[:, 2, 1] = 2 * (y * z + x * w)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+# camera frame (x right, y down, z forward — KITTI cam0, the frame of the
+# TUM ground-truth files) → z-up body frame (x forward, y left, z up)
+_CAM_TO_WORLD = np.array([[0.0, 0.0, 1.0],
+                          [-1.0, 0.0, 0.0],
+                          [0.0, -1.0, 0.0]])
+
+
+def tum_trajectory_poses(path: str, max_scans: int = 0) -> np.ndarray:
+    """Load a TUM trajectory (`ts x y z qx qy qz qw`, camera frame — e.g.
+    the reference's `kitti_ground_truth_tum/00.txt`) as z-up body poses
+    [N, 6] (x y z roll pitch yaw), first pose at the identity.
+
+    This drives the simulator along the *real* KITTI trajectory geometry
+    (streets, junctions, genuine loop revisits) — the closest available
+    stand-in for bag replay (`README.md:39-53`) on an image that ships
+    ground truth but no velodyne data."""
+    raw = np.loadtxt(path)
+    if max_scans:
+        raw = raw[:max_scans]
+    p_cam = raw[:, 1:4]
+    R_cam = _quat_to_matrix(raw[:, 4:8])
+    C = _CAM_TO_WORLD
+    p_w = p_cam @ C.T
+    R_w = np.einsum("ab,nbc,dc->nad", C, R_cam, C)
+    poses = np.zeros((len(raw), 6), np.float32)
+    poses[:, :3] = p_w
+    # ZYX euler matching render_scan / utils.se3: R = Rz(y)·Ry(p)·Rx(r)
+    poses[:, 3] = np.arctan2(R_w[:, 2, 1], R_w[:, 2, 2])
+    poses[:, 4] = -np.arcsin(np.clip(R_w[:, 2, 0], -1.0, 1.0))
+    poses[:, 5] = np.arctan2(R_w[:, 1, 0], R_w[:, 0, 0])
+    return poses
+
+
+def make_world_along(
+    path_xyz: np.ndarray,
+    seed: int = 0,
+    sensor_height: float = 1.73,
+    ground_step: float = 8.0,
+    ground_radius: float = 70.0,
+    ground_pts_per: int = 1200,
+    building_step: float = 20.0,
+    building_prob: float = 0.75,
+    wall_pts_per_face: int = 1500,
+    pillar_step: float = 6.0,
+    corridor_clear: float = 7.0,
+) -> World:
+    """Urban-corridor world along an arbitrary trajectory (vs `make_world`'s
+    fixed square block): ground discs riding the path's height profile,
+    buildings at lateral offsets off the path tangent, pillars near the
+    roadside. Feature positions depend only on (path, seed), so revisited
+    streets present identical structure — the property loop closure needs."""
+    rng = np.random.default_rng(seed)
+    path = np.asarray(path_xyz, np.float64)
+    zref = _decimate_by_arclen(path, 4.0)          # z-profile lookup samples
+    P = path[zref]
+
+    def nearest_path_z(xy: np.ndarray) -> np.ndarray:
+        out = np.empty(len(xy))
+        for lo in range(0, len(xy), 65536):
+            chunk = xy[lo:lo + 65536]
+            d2 = ((chunk[:, None, :] - P[None, :, :2]) ** 2).sum(-1)
+            out[lo:lo + 65536] = P[d2.argmin(1), 2]
+        return out
+
+    parts, intens = [], []
+
+    gi = _decimate_by_arclen(path, ground_step)
+    n_g = len(gi) * ground_pts_per
+    th = rng.uniform(0, 2 * np.pi, n_g)
+    rr = ground_radius * np.sqrt(rng.uniform(0, 1, n_g))
+    centers = np.repeat(path[gi, :2], ground_pts_per, axis=0)
+    gxy = centers + np.c_[rr * np.cos(th), rr * np.sin(th)]
+    gz = nearest_path_z(gxy) - sensor_height + rng.normal(0, 0.02, n_g)
+    parts.append(np.c_[gxy, gz])
+    intens.append(np.full(n_g, 0.1, np.float32))
+
+    bi = _decimate_by_arclen(path, building_step)
+    tang = np.gradient(path[:, :2], axis=0)
+    tang /= np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-9)
+    for i in bi:
+        if rng.uniform() > building_prob:
+            continue
+        nrm = np.array([-tang[i, 1], tang[i, 0]])
+        side = rng.choice([-1.0, 1.0])
+        off = rng.uniform(14.0, 45.0)
+        cx, cy = path[i, :2] + side * off * nrm
+        w, d = rng.uniform(8, 25, 2)
+        h = rng.uniform(4, 15)
+        half_diag = 0.5 * np.hypot(w, d)
+        if np.min(np.hypot(P[:, 0] - cx, P[:, 1] - cy)) < half_diag + corridor_clear:
+            continue
+        z0 = nearest_path_z(np.array([[cx, cy]]))[0] - sensor_height
+        refl = rng.uniform(0.3, 0.9)
+        for face in range(4):
+            n = wall_pts_per_face
+            u = rng.uniform(0, 1, n)
+            v = rng.uniform(0, 1, n)
+            if face == 0:
+                pts = np.c_[cx + (u - 0.5) * w, np.full(n, cy - d / 2), z0 + v * h]
+            elif face == 1:
+                pts = np.c_[cx + (u - 0.5) * w, np.full(n, cy + d / 2), z0 + v * h]
+            elif face == 2:
+                pts = np.c_[np.full(n, cx - w / 2), cy + (u - 0.5) * d, z0 + v * h]
+            else:
+                pts = np.c_[np.full(n, cx + w / 2), cy + (u - 0.5) * d, z0 + v * h]
+            pts += rng.normal(0, 0.02, pts.shape)
+            parts.append(pts)
+            intens.append(np.full(n, refl, np.float32))
+
+    pi = _decimate_by_arclen(path, pillar_step)
+    for i in pi:
+        nrm = np.array([-tang[i, 1], tang[i, 0]])
+        side = rng.choice([-1.0, 1.0])
+        cx, cy = path[i, :2] + side * rng.uniform(4.0, 11.0) * nrm
+        r = rng.uniform(0.15, 0.5)
+        h = rng.uniform(2, 6)
+        n = 250
+        z0 = path[zref[np.argmin(np.hypot(P[:, 0] - cx, P[:, 1] - cy))], 2] \
+            - sensor_height
+        a = rng.uniform(0, 2 * np.pi, n)
+        pts = np.c_[cx + r * np.cos(a), cy + r * np.sin(a),
+                    z0 + rng.uniform(0, h, n)]
+        parts.append(pts)
+        intens.append(np.full(n, 0.95, np.float32))
+
+    return World(
+        xyz=np.vstack(parts).astype(np.float32),
+        intensity=np.concatenate(intens).astype(np.float32),
+    )
+
+
+class WorldIndex:
+    """2-D cell index over world points: per-scan candidate gathers touch only
+    the cells within sensor range instead of the full multi-million-point
+    world (KITTI-00-scale worlds make the brute-force scan the host
+    bottleneck)."""
+
+    def __init__(self, world: World, cell: float = 64.0):
+        self.cell = float(cell)
+        ij = np.floor(world.xyz[:, :2] / self.cell).astype(np.int64)
+        order = np.lexsort((ij[:, 1], ij[:, 0]))
+        sij = ij[order]
+        change = np.nonzero(np.any(np.diff(sij, axis=0) != 0, axis=1))[0] + 1
+        starts = np.concatenate([[0], change, [len(sij)]])
+        self.order = order
+        self.cells = {
+            (int(sij[starts[k], 0]), int(sij[starts[k], 1])):
+                (int(starts[k]), int(starts[k + 1]))
+            for k in range(len(starts) - 1)
+        }
+
+    def query(self, xy, max_range: float) -> np.ndarray:
+        """Indices of all world points whose cell intersects the square
+        [xy ± max_range] (a superset of the range ball)."""
+        i0 = int(np.floor((xy[0] - max_range) / self.cell))
+        i1 = int(np.floor((xy[0] + max_range) / self.cell))
+        j0 = int(np.floor((xy[1] - max_range) / self.cell))
+        j1 = int(np.floor((xy[1] + max_range) / self.cell))
+        spans = [self.cells[(i, j)]
+                 for i in range(i0, i1 + 1) for j in range(j0, j1 + 1)
+                 if (i, j) in self.cells]
+        if not spans:
+            return np.zeros(0, np.int64)
+        return np.concatenate([self.order[lo:hi] for lo, hi in spans])
+
+
 def render_scan(
     world: World,
     pose6: np.ndarray,
@@ -124,6 +315,7 @@ def render_scan(
     min_range: float = 2.0,
     n_points: int = 24_000,
     noise: float = 0.015,
+    index: "WorldIndex | None" = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One scan in the body frame: (xyz [n,3], intensity [n]) float32.
 
@@ -141,7 +333,14 @@ def render_scan(
         [-sp, cp * sr, cp * cr],
     ], np.float32)
     t = np.asarray(pose6[:3], np.float32)
-    rel = world.xyz - t
+    if index is not None:
+        cand = index.query(t[:2], max_range)
+        world_xyz = world.xyz[cand]
+        world_inten = world.intensity[cand]
+    else:
+        world_xyz = world.xyz
+        world_inten = world.intensity
+    rel = world_xyz - t
     r = np.linalg.norm(rel[:, :2], axis=1)
     sel = (r > min_range) & (r < max_range)
     idx = np.nonzero(sel)[0]
@@ -158,9 +357,36 @@ def render_scan(
         take = idx[keep]
         if len(take) > n_points:
             take = take[rng.permutation(len(take))[:n_points]]
-    pts_w = world.xyz[take] + rng.normal(0, noise, (len(take), 3))
+    pts_w = world_xyz[take] + rng.normal(0, noise, (len(take), 3))
     body = (pts_w - t) @ R  # R⁻¹ = Rᵀ applied on the right
-    return body.astype(np.float32), world.intensity[take]
+    return body.astype(np.float32), world_inten[take]
+
+
+class RenderedScans:
+    """Indexable lazy scan sequence over (world, poses): scan k is rendered on
+    first access with a per-index rng, so the prefetcher's staging threads do
+    the rendering too — host render overlaps device compute, exactly like
+    `io/prefetch.LazyScans` overlaps disk IO, and a full KITTI-length
+    sequence is never resident at once."""
+
+    def __init__(self, world: World, poses: np.ndarray, seed: int = 0,
+                 n_points: int = 24_000, index: WorldIndex | None = None,
+                 max_range: float = 60.0):
+        self.world = world
+        self.poses = np.asarray(poses)
+        self.seed = seed
+        self.n_points = n_points
+        self.index = index
+        self.max_range = max_range
+
+    def __len__(self) -> int:
+        return len(self.poses)
+
+    def __getitem__(self, k: int):
+        rng = np.random.default_rng((self.seed + 1) * 1_000_003 + k)
+        return render_scan(self.world, self.poses[k], rng,
+                           n_points=self.n_points, index=self.index,
+                           max_range=self.max_range)
 
 
 def simulate_sequence(
