@@ -60,14 +60,15 @@ def test_tum_trajectory_roundtrip(tmp_path):
     poses[0] = 0.0
     f = str(tmp_path / "gt_tum.txt")
     _write_tum_camera_frame(f, poses)
-    got = sim.tum_trajectory_poses(f)
+    stamps, got = sim.tum_trajectory_poses(f)
+    np.testing.assert_allclose(stamps, 0.1 * np.arange(n), atol=1e-6)
     np.testing.assert_allclose(got[:, :3], poses[:, :3], atol=1e-5)
     # compare rotations as matrices (euler wrap-around safe)
     for k in range(n):
         np.testing.assert_allclose(_rot_zyx(got[k, 3:6]),
                                    _rot_zyx(poses[k, 3:6]), atol=1e-5)
-    got2 = sim.tum_trajectory_poses(f, max_scans=10)
-    assert got2.shape == (10, 6)
+    s2, got2 = sim.tum_trajectory_poses(f, max_scans=10)
+    assert got2.shape == (10, 6) and s2.shape == (10,)
 
 
 def test_world_index_superset():
@@ -114,6 +115,51 @@ def test_make_world_along_corridor():
     near = np.linalg.norm(world.xyz[:, :2] - mid[None, :2], axis=1) < 3.0
     tall = world.xyz[near][:, 2] > mid[2] + 1.0
     assert tall.mean() < 0.05
+
+
+def test_associate_and_eval_keyframe_vs_perscan(tmp_path, capsys):
+    """A keyframe trajectory (every 3rd scan) against per-scan GT must be
+    timestamp-associated — index-by-index pairing produced 184 m phantom ATE
+    on an actually-sub-3m run."""
+    from xchu_slam_tpu.cli import main
+    from xchu_slam_tpu.utils import metrics
+
+    n = 300
+    t = 0.103 * np.arange(n)  # KITTI-like non-round timestamps
+    poses = np.zeros((n, 6))
+    poses[:, 0] = 1.3 * np.arange(n)
+    poses[:, 1] = 5 * np.sin(np.arange(n) / 40)
+
+    ei, gi = metrics.associate(t[::3], t, max_diff=0.01)
+    assert np.array_equal(gi, np.arange(0, n, 3))
+    assert np.array_equal(ei, np.arange(len(t[::3])))
+    # off-grid stamps within tolerance still match
+    ei, gi = metrics.associate(t[::3] + 0.004, t, max_diff=0.01)
+    assert np.array_equal(gi, np.arange(0, n, 3))
+    # beyond tolerance → dropped
+    ei, gi = metrics.associate(np.array([t[9] + 0.09]), t, max_diff=0.01)
+    assert len(ei) == 0
+
+    gt_file = str(tmp_path / "gt.txt")
+    _write_tum_camera_frame_stamps(gt_file, poses, t)
+    est_file = str(tmp_path / "est.txt")
+    _write_tum_camera_frame_stamps(est_file, poses[::3], t[::3])
+    main(["eval", "--est", est_file, "--gt", gt_file])
+    out = json.loads(capsys.readouterr().out)
+    assert out["pairs"] == len(poses[::3])
+    assert out["ape_rmse_m"] < 1e-4, out
+    assert out["rpe_rmse_m"] < 1e-4, out
+
+
+def _write_tum_camera_frame_stamps(path, poses6, stamps):
+    C = sim._CAM_TO_WORLD
+    with open(path, "w") as f:
+        for t, p in zip(stamps, poses6):
+            R_w = _rot_zyx(p[3:6])
+            p_cam = C.T @ p[:3]
+            x, y, z, w = _mat_to_quat(C.T @ R_w @ C)
+            f.write(f"{t:.6f} {p_cam[0]:.9f} {p_cam[1]:.9f} "
+                    f"{p_cam[2]:.9f} {x:.9f} {y:.9f} {z:.9f} {w:.9f}\n")
 
 
 def test_cli_run_sim_trajectory(tmp_path, capsys):

@@ -62,7 +62,8 @@ def cmd_run_sim(args):
     if args.trajectory:
         # simulate along a real ground-truth trajectory (TUM camera-frame
         # file, e.g. KITTI 00) — real street/loop geometry, corridor world
-        gt = sim.tum_trajectory_poses(args.trajectory, max_scans=args.scans)
+        gt_stamps, gt = sim.tum_trajectory_poses(args.trajectory,
+                                                 max_scans=args.scans)
         world = sim.make_world_along(gt[:, :3], args.seed)
         index = sim.WorldIndex(world)
     else:
@@ -70,6 +71,7 @@ def cmd_run_sim(args):
         world = sim.make_world(args.seed, extent=args.radius * 2.5)
         gt = sim.loop_trajectory(n_scans=n_scans, radius=args.radius,
                                  speed=1.0)
+        gt_stamps = 0.1 * np.arange(n_scans)
         index = None
     rng = np.random.default_rng(args.seed)
     n_scans = len(gt)
@@ -92,7 +94,11 @@ def cmd_run_sim(args):
         base = 0
         with timers.time("slam"):
             for clouds, n_real in pf:
-                stamps = 0.1 * (base + np.arange(clouds.xyz.shape[0]))
+                nslot = clouds.xyz.shape[0]
+                stamps = gt_stamps[base:base + nslot]
+                if len(stamps) < nslot:  # short final chunk: pad stamps
+                    stamps = np.pad(stamps, (0, nslot - len(stamps)),
+                                    mode="edge")
                 pipe.process_chunk(clouds, stamps, n_real)
                 base += n_real
                 if args.checkpoint_every and (base // 16) % max(
@@ -110,7 +116,7 @@ def cmd_run_sim(args):
                 xyz, inten = sim.render_scan(world, p, rng, n_points=24_000,
                                              index=index)
             with timers.time("slam"):
-                pipe.process_scan(xyz, inten, stamp=0.1 * i)
+                pipe.process_scan(xyz, inten, stamp=float(gt_stamps[i]))
             if args.verbose and i % 25 == 0:
                 print(f"scan {i}: kf={pipe.kf_count} loops={pipe.loop_count}",
                       file=sys.stderr)
@@ -126,7 +132,8 @@ def cmd_run_sim(args):
     gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
     gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)
     stamps, kf_odo, kf_opt = pipe.keyframe_trajectory()
-    idx = np.round(stamps / 0.1).astype(int)
+    ei, idx = metrics.associate(stamps, gt_stamps, max_diff=0.05)
+    kf_opt = kf_opt[ei]
     estT = np.asarray(se3.pose_to_matrix(jnp.asarray(kf_opt)))
     ate = metrics.ape_rmse(kf_opt[:, :3], gt_rel[idx, :3, 3], align=False)
     drift, length = metrics.end_drift(kf_opt[:, :3], gt_rel[idx, :3, 3])
@@ -227,17 +234,24 @@ def cmd_eval(args):
     from xchu_slam_tpu.io import kitti
     from xchu_slam_tpu.utils import metrics
 
-    _s1, est = kitti.read_tum(args.est)
+    s1, est = kitti.read_tum(args.est)
     if args.gt.endswith(".txt") and args.gt_format == "kitti":
         gt = kitti.read_kitti_poses(args.gt)
+        s2 = np.arange(len(gt), dtype=np.float64)  # KITTI format: one per scan
+        s1 = np.round(np.asarray(s1) / args.scan_dt)  # stamp → scan index
     else:
-        _s2, gt = kitti.read_tum(args.gt)
-    n = min(len(est), len(gt))
+        s2, gt = kitti.read_tum(args.gt)
+    ei, gi = metrics.associate(s1, s2, max_diff=args.t_max_diff)
+    if len(ei) < 2:  # stamps not comparable → positional fallback
+        n = min(len(est), len(gt))
+        ei = gi = np.arange(n)
+    est, gt = est[ei], gt[gi]
     out = {
-        "ape_rmse_m": round(metrics.ape_rmse(est[:n, :3, 3], gt[:n, :3, 3]), 4),
-        "rpe_rmse_m": round(metrics.rpe_rmse(est[:n], gt[:n]), 4),
+        "pairs": int(len(ei)),
+        "ape_rmse_m": round(metrics.ape_rmse(est[:, :3, 3], gt[:, :3, 3]), 4),
+        "rpe_rmse_m": round(metrics.rpe_rmse(est, gt), 4),
     }
-    drift, length = metrics.end_drift(est[:n, :3, 3], gt[:n, :3, 3])
+    drift, length = metrics.end_drift(est[:, :3, 3], gt[:, :3, 3])
     out["end_drift_m"] = round(drift, 3)
     out["length_m"] = round(length, 1)
     out["drift_pct"] = round(100.0 * drift / max(length, 1e-9), 3)
@@ -297,10 +311,16 @@ def main(argv=None):
     _add_config_overrides(pk)
     pk.set_defaults(fn=cmd_run_kitti)
 
-    pe = sub.add_parser("eval", help="APE/RPE between trajectories")
+    pe = sub.add_parser("eval", help="APE/RPE between trajectories "
+                        "(timestamp-associated, like evo)")
     pe.add_argument("--est", required=True)
     pe.add_argument("--gt", required=True)
     pe.add_argument("--gt-format", default="tum", choices=["tum", "kitti"])
+    pe.add_argument("--t-max-diff", type=float, default=0.05,
+                    help="max timestamp difference for association (s)")
+    pe.add_argument("--scan-dt", type=float, default=0.1,
+                    help="scan period for KITTI-format GT (maps est stamps "
+                    "to scan indices)")
     pe.set_defaults(fn=cmd_eval)
 
     pi = sub.add_parser("info", help="version / devices / config")

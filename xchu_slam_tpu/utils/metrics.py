@@ -62,6 +62,25 @@ def rpe_rmse(
     return float(np.sqrt(np.mean(np.square(errs))))
 
 
+def associate(
+    est_stamps: np.ndarray, gt_stamps: np.ndarray, max_diff: float = 0.05
+) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest-timestamp association (what `evo_ape tum` does before
+    comparing): for each est stamp, the closest gt stamp within `max_diff`
+    seconds. Returns (est_idx, gt_idx), both [M]. A keyframe trajectory
+    (sparse stamps) evaluated against per-scan ground truth MUST be
+    associated this way — index-by-index pairing compares poses from
+    different instants."""
+    est = np.asarray(est_stamps, np.float64)
+    gt = np.asarray(gt_stamps, np.float64)
+    pos = np.searchsorted(gt, est)
+    lo = np.clip(pos - 1, 0, len(gt) - 1)
+    hi = np.clip(pos, 0, len(gt) - 1)
+    gi = np.where(np.abs(gt[hi] - est) < np.abs(gt[lo] - est), hi, lo)
+    ok = np.abs(gt[gi] - est) <= max_diff
+    return np.nonzero(ok)[0], gi[ok]
+
+
 def end_drift(est_xyz: np.ndarray, gt_xyz: np.ndarray) -> tuple[float, float]:
     """(final-position error, trajectory length) — reference README drift metric."""
     est = np.asarray(est_xyz, np.float64)

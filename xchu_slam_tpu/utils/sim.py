@@ -148,10 +148,14 @@ _CAM_TO_WORLD = np.array([[0.0, 0.0, 1.0],
                           [0.0, -1.0, 0.0]])
 
 
-def tum_trajectory_poses(path: str, max_scans: int = 0) -> np.ndarray:
+def tum_trajectory_poses(
+    path: str, max_scans: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
     """Load a TUM trajectory (`ts x y z qx qy qz qw`, camera frame — e.g.
-    the reference's `kitti_ground_truth_tum/00.txt`) as z-up body poses
-    [N, 6] (x y z roll pitch yaw), first pose at the identity.
+    the reference's `kitti_ground_truth_tum/00.txt`) as (stamps [N],
+    z-up body poses [N, 6] (x y z roll pitch yaw)), first pose at the
+    identity. Stamps are the file's real timestamps, so a run stamped with
+    them evaluates directly against the GT file by timestamp association.
 
     This drives the simulator along the *real* KITTI trajectory geometry
     (streets, junctions, genuine loop revisits) — the closest available
@@ -171,7 +175,7 @@ def tum_trajectory_poses(path: str, max_scans: int = 0) -> np.ndarray:
     poses[:, 3] = np.arctan2(R_w[:, 2, 1], R_w[:, 2, 2])
     poses[:, 4] = -np.arcsin(np.clip(R_w[:, 2, 0], -1.0, 1.0))
     poses[:, 5] = np.arctan2(R_w[:, 1, 0], R_w[:, 0, 0])
-    return poses
+    return raw[:, 0].astype(np.float64), poses
 
 
 def make_world_along(
