@@ -45,16 +45,25 @@ def cmd_run_sim(args):
     from xchu_slam_tpu.models.pipeline import SlamPipeline
     from xchu_slam_tpu.utils import metrics, se3, sim
     from xchu_slam_tpu.utils.profiling import StageTimers
+    import jax
     import jax.numpy as jnp
 
     cfg = default_config().override({
         "filter.max_points": 8192,
         "filter.max_raw_points": 32768,  # sim scans are ≤24k pts; tight
         # staging capacity keeps chunk transfers at the measured link sweet spot
+        # statistical outlier removal: simulated worlds are sparser than real
+        # LiDAR returns, so the radius criterion (≥5 pts in 0.8 m) deletes
+        # ~98% of a sim scan and starves the SC descriptors
+        "filter.outlier_method": "statistical",
         "loop.method": args.loop_method,
         "pgo.odom_noise_trans": 1e-3,
         "pgo.odom_noise_rot": 1e-3,
         "loop.icp_fitness_thresh": 0.7,
+        # sim scans are sparser than real KITTI returns → SC distances at
+        # true revisits run higher (measured 0.16-0.35 vs <0.2 on real
+        # density); ICP verification + the 2-D gate remain the authority
+        "sc.dist_thresh": 0.3,
     })
     cfg = _apply_overrides(cfg, args.set)
     timers = StageTimers()
@@ -81,17 +90,33 @@ def cmd_run_sim(args):
         from xchu_slam_tpu.io.prefetch import DeviceChunkPrefetcher
         from xchu_slam_tpu.models.device_pipeline import DeviceSlamPipeline
 
-        pipe = DeviceSlamPipeline(cfg, kf_points=4096,
-                                  log_capacity=max(n_scans, 8192))
         # lazy render: the prefetcher's staging threads render scans, so host
         # rendering overlaps device compute (and a KITTI-length sequence is
         # never resident at once)
         scans = sim.RenderedScans(world, gt, seed=args.seed,
                                   n_points=24_000, index=index)
+        # warm-compile the full device program on a throwaway pipeline BEFORE
+        # any staging thread exists: concurrent h2d transfers during an XLA
+        # compile stall the relay client ~23 s per chunk (measured; probes in
+        # PERF.md) — warm first, then stream at full rate
+        from xchu_slam_tpu.io.prefetch import ChunkStager
+        with timers.time("compile"):
+            warm = DeviceSlamPipeline(cfg, kf_points=4096,
+                                      log_capacity=max(n_scans, 8192))
+            wst = ChunkStager(cfg.filter.max_raw_points, 16, n_buffers=1)
+            wch, wn = wst.stage([scans[i] for i in range(min(16, n_scans))])
+            warm.process_chunk(wch, gt_stamps[:16] if n_scans >= 16 else
+                               np.pad(gt_stamps, (0, 16 - n_scans),
+                                      mode="edge"), wn)
+            jax.block_until_ready(warm.state.log)
+            del warm
+        pipe = DeviceSlamPipeline(cfg, kf_points=4096,
+                                  log_capacity=max(n_scans, 8192))
         t0 = time.perf_counter()
         pf = DeviceChunkPrefetcher(scans, capacity=cfg.filter.max_raw_points,
                                    chunk=16, depth=2, threads=2)
         base = 0
+        chunk_ts = [time.perf_counter()]
         with timers.time("slam"):
             for clouds, n_real in pf:
                 nslot = clouds.xyz.shape[0]
@@ -101,6 +126,7 @@ def cmd_run_sim(args):
                                     mode="edge")
                 pipe.process_chunk(clouds, stamps, n_real)
                 base += n_real
+                chunk_ts.append(time.perf_counter())
                 if args.checkpoint_every and (base // 16) % max(
                         args.checkpoint_every // 16, 1) == 0 and base:
                     from xchu_slam_tpu.utils.checkpoint import save_checkpoint
@@ -151,6 +177,14 @@ def cmd_run_sim(args):
     }
     print(json.dumps(summary, indent=2))
     print(timers.report(), file=sys.stderr)
+    if args.engine == "device" and len(chunk_ts) > 8:
+        # per-chunk dispatch-time trend: uniform-slow vs degrading-over-time
+        dt = np.diff(chunk_ts)
+        q = len(dt) // 4
+        print(f"chunk ms: first-quarter={1e3 * dt[:q].mean():.1f} "
+              f"last-quarter={1e3 * dt[-q:].mean():.1f} "
+              f"p50={1e3 * np.median(dt):.1f} p95={1e3 * np.quantile(dt, .95):.1f}",
+              file=sys.stderr)
 
 
 def cmd_run_kitti(args):

@@ -153,4 +153,15 @@ def save_run(pipe, out_dir: str, to_camera_frame: bool = False) -> dict:
 
     paths["markers"] = os.path.join(out_dir, "markers.json")
     write_markers(paths["markers"], T_opt, [(i, j) for (i, j, _Z, _f) in loops])
+
+    if getattr(pipe, "odom_log", None):
+        # per-scan diagnostics (the reference's per-scan console block,
+        # odom_node.cpp:414-422, + loop accept/reject logs) as JSONL
+        import json
+        paths["odom_log"] = os.path.join(out_dir, "odom_log.jsonl")
+        with open(paths["odom_log"], "w") as f:
+            for r in pipe.odom_log:
+                row = {k: (v.tolist() if hasattr(v, "tolist") else v)
+                       for k, v in r.items()}
+                f.write(json.dumps(row) + "\n")
     return paths

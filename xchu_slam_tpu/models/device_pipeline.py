@@ -189,11 +189,14 @@ def _add_keyframe_branch(state: DevState, filt: Cloud, pose, stamp,
     db = state.db
     k = db.count  # new keyframe index
 
-    cxyz, cmask, src_idx = subsample_cloud(filt.xyz, filt.mask, spec.kf_points)
-    sc_desc = sc.make_descriptor(cxyz, cmask, spec.scspec)
+    cxyz, cmask, _src_idx = subsample_cloud(filt.xyz, filt.mask, spec.kf_points)
+    # descriptors from the FULL filtered cloud (reference pgo_node.cpp:234-247
+    # computes SC/ISC on /filtered_points); the subsample only bounds the
+    # stored ICP submap clouds
+    sc_desc = sc.make_descriptor(filt.xyz, filt.mask, spec.scspec)
     if spec.method == "isc":
-        cinten = filt.intensity[src_idx]
-        isc_desc = isc_ops.make_descriptor(cxyz, cinten, cmask, spec.iscspec)
+        isc_desc = isc_ops.make_descriptor(filt.xyz, filt.intensity,
+                                           filt.mask, spec.iscspec)
     else:
         isc_desc = db.isc_db[0] * 0.0
 
@@ -437,20 +440,29 @@ class DeviceSlamPipeline:
             jnp.asarray(gvalid), jnp.asarray(valid), self.spec)
 
     def finalize(self) -> None:
-        """Final pose-graph solve + ONE host readback of everything."""
+        """Final pose-graph solve + ONE compact host readback.
+
+        Reads back only the small fields (counters, log, loop table) — NOT
+        the keyframe clouds/descriptor DBs (~150 MB), which stay on device;
+        export pulls the clouds once, in bulk, inside `assemble_map`."""
         st = self.state
         opt = pg.solve(st.db.opt_poses, st.graph, self.spec.gspec)
         st = st._replace(db=st.db._replace(opt_poses=opt))
         self.state = st
-        host = jax.device_get(st)
+        host = jax.device_get({
+            "count": st.db.count, "loop_count": st.loop_count,
+            "scan_count": st.scan_count, "log": st.log,
+            "loop_i": st.graph.loop_i, "loop_j": st.graph.loop_j,
+            "loop_info": st.graph.loop_info,
+        })
         self.db = st.db  # device arrays (export reads via np.asarray)
         self.graph = st.graph
-        self.kf_count = int(host.db.count)
-        self.loop_count = int(host.loop_count)
-        self.scan_count = int(host.scan_count)
+        self.kf_count = int(host["count"])
+        self.loop_count = int(host["loop_count"])
+        self.scan_count = int(host["scan_count"])
         n = min(self.scan_count, self.spec.log_capacity)
         from xchu_slam_tpu.models.pipeline import LoopRecord
-        log = host.log[:n]
+        log = host["log"][:n]
         self.odom_log = [
             {"stamp": float(log[i, 10]), "pose": log[i, :6],
              "iterations": int(log[i, 6]), "fitness": float(log[i, 7]),
@@ -466,9 +478,9 @@ class DeviceSlamPipeline:
             for i in range(n)
         ]
         self.loops = [
-            LoopRecord(i=int(host.graph.loop_i[q]),
-                       j=int(host.graph.loop_j[q]),
-                       fitness=float(1.0 / max(host.graph.loop_info[q], 1e-9)),
+            LoopRecord(i=int(host["loop_i"][q]),
+                       j=int(host["loop_j"][q]),
+                       fitness=float(1.0 / max(host["loop_info"][q], 1e-9)),
                        method=self.spec.method)
             for q in range(self.loop_count)
         ]
