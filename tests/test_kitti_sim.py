@@ -194,3 +194,10 @@ def test_cli_run_sim_trajectory(tmp_path, capsys):
     assert np.isfinite(summary["drift_pct"])
     for name, pth in summary["artifacts"].items():
         assert os.path.exists(pth), name
+    # exported odom_tum is camera-frame: eval CLI against the GT file must
+    # agree with the run summary (same association + alignment conventions)
+    main(["eval", "--est", summary["artifacts"]["odom_tum"],
+          "--gt", gt_file])
+    ev = json.loads(capsys.readouterr().out)
+    assert ev["pairs"] == summary["keyframes"]
+    assert abs(ev["ape_rmse_m"] - summary["ate_rmse_m"]) < 0.05, (ev, summary)

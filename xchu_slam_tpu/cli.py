@@ -132,7 +132,8 @@ def cmd_run_sim(args):
                     from xchu_slam_tpu.utils.checkpoint import save_checkpoint
                     save_checkpoint(pipe,
                                     os.path.join(args.out, "checkpoint.npz"))
-            pipe.finalize()
+            with timers.time("finalize"):
+                pipe.finalize()
         wall = time.perf_counter() - t0
     else:
         pipe = SlamPipeline(cfg, kf_points=4096)
@@ -153,7 +154,12 @@ def cmd_run_sim(args):
         wall = time.perf_counter() - t0
 
     os.makedirs(args.out, exist_ok=True)
-    paths = save_run(pipe, args.out)
+    with timers.time("save"):
+        # camera-frame TUM export (pure axis rotation: sim has no lever arm)
+        # so `eval --est odom_tum.txt --gt <GT file>` compares directly
+        cam_T = np.eye(4, dtype=np.float64)
+        cam_T[:3, :3] = sim._CAM_TO_WORLD.T
+        paths = save_run(pipe, args.out, cam_T=cam_T)
 
     gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
     gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)
@@ -161,13 +167,17 @@ def cmd_run_sim(args):
     ei, idx = metrics.associate(stamps, gt_stamps, max_diff=0.05)
     kf_opt = kf_opt[ei]
     estT = np.asarray(se3.pose_to_matrix(jnp.asarray(kf_opt)))
-    ate = metrics.ape_rmse(kf_opt[:, :3], gt_rel[idx, :3, 3], align=False)
+    # SE(3)-aligned APE — the evo_ape -a convention the reference's published
+    # 1.61 m uses (README.md:61-64); unaligned value reported alongside
+    ate = metrics.ape_rmse(kf_opt[:, :3], gt_rel[idx, :3, 3], align=True)
+    ate_raw = metrics.ape_rmse(kf_opt[:, :3], gt_rel[idx, :3, 3], align=False)
     drift, length = metrics.end_drift(kf_opt[:, :3], gt_rel[idx, :3, 3])
     summary = {
         "scans": n_scans,
         "keyframes": pipe.kf_count,
         "loops": pipe.loop_count,
         "ate_rmse_m": round(float(ate), 4),
+        "ate_unaligned_m": round(float(ate_raw), 4),
         "rpe_rmse_m": round(metrics.rpe_rmse(estT, gt_rel[idx]), 4),
         "end_drift_m": round(drift, 3),
         "length_m": round(length, 1),

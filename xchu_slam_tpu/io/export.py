@@ -112,8 +112,14 @@ def write_markers(path: str, poses: np.ndarray,
         }, f)
 
 
-def save_run(pipe, out_dir: str, to_camera_frame: bool = False) -> dict:
-    """Export all run artifacts from a SlamPipeline. Returns file paths."""
+def save_run(pipe, out_dir: str, to_camera_frame: bool = False,
+             cam_T: np.ndarray | None = None) -> dict:
+    """Export all run artifacts from a SlamPipeline. Returns file paths.
+
+    `to_camera_frame` applies the KITTI velodyne→camera extrinsic (the
+    reference's TUM export, pgo_node.cpp:687-691) so `odom_tum.txt` compares
+    directly against KITTI GT files; `cam_T` overrides the extrinsic (e.g.
+    a pure axis rotation for simulated runs with no lever arm)."""
     import jax.numpy as jnp
 
     from xchu_slam_tpu.utils import se3
@@ -122,7 +128,11 @@ def save_run(pipe, out_dir: str, to_camera_frame: bool = False) -> dict:
     stamps, kf_odo, kf_opt = pipe.keyframe_trajectory()
     T_opt = np.asarray(se3.pose_to_matrix(jnp.asarray(kf_opt)))
     T_odo = np.asarray(se3.pose_to_matrix(jnp.asarray(kf_odo)))
-    if to_camera_frame:
+    if cam_T is not None:
+        inv = np.linalg.inv(cam_T)
+        T_opt_out = cam_T @ T_opt @ inv
+        T_odo_out = cam_T @ T_odo @ inv
+    elif to_camera_frame:
         T_opt_out = kitti.velo_to_cam(T_opt)
         T_odo_out = kitti.velo_to_cam(T_odo)
     else:
