@@ -63,7 +63,7 @@ def cmd_run_sim(args):
         # sim scans are sparser than real KITTI returns → SC distances at
         # true revisits run higher (measured 0.16-0.35 vs <0.2 on real
         # density); ICP verification + the 2-D gate remain the authority
-        "sc.dist_thresh": 0.3,
+        "sc.dist_thresh": 0.35,
     })
     cfg = _apply_overrides(cfg, args.set)
     timers = StageTimers()
@@ -109,6 +109,13 @@ def cmd_run_sim(args):
                                np.pad(gt_stamps, (0, 16 - n_scans),
                                       mode="edge"), wn)
             jax.block_until_ready(warm.state.log)
+            if args.early_drain:
+                # pay the relay's first-readback stall NOW, while almost
+                # nothing has accumulated (cheap), instead of inside
+                # finalize() after GBs of streaming (100-400 s). Streaming
+                # then runs in post-readback mode (~98 MB/s h2d) — slower
+                # per chunk but usually a large net win on long runs.
+                float(warm.state.travel)
             del warm
         pipe = DeviceSlamPipeline(cfg, kf_points=4096,
                                   log_capacity=max(n_scans, 8192))
@@ -185,6 +192,11 @@ def cmd_run_sim(args):
         "scans_per_sec": round(n_scans / wall, 2),
         "artifacts": paths,
     }
+    if args.engine == "device" and len(chunk_ts) > 2:
+        # sustained streaming rate, excluding one-time costs (XLA compile,
+        # the relay's first-readback stall in finalize)
+        summary["stream_scans_per_sec"] = round(
+            n_scans / (chunk_ts[-1] - chunk_ts[0]), 2)
     print(json.dumps(summary, indent=2))
     print(timers.report(), file=sys.stderr)
     if args.engine == "device" and len(chunk_ts) > 8:
@@ -330,6 +342,9 @@ def main(argv=None):
                     help="TUM camera-frame GT file (e.g. KITTI 00): simulate "
                     "scans along the real trajectory in a corridor world")
     ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--early-drain", action="store_true",
+                    help="trigger the relay's one-time first-readback stall "
+                    "during warmup instead of inside finalize")
     ps.add_argument("--loop-method", default="sc",
                     choices=["sc", "isc", "radius", "none"])
     ps.add_argument("--out", default="out/sim")
