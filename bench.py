@@ -182,6 +182,33 @@ def phase2():
     }))
 
 
+KITTI00_GT = "/root/reference/kitti_ground_truth_tum/00.txt"
+
+
+def phase3():
+    """KITTI-00 accuracy benchmark: SLAM along the real seq-00 trajectory
+    (simulated corridor world — the image ships GT but no velodyne data),
+    1800-scan slice covering the first genuine loop revisit. Reports
+    evo-convention aligned ATE vs the reference's published 1.61 m
+    (BASELINE.md) plus the sustained streaming rate."""
+    import contextlib
+    import io
+
+    from xchu_slam_tpu.cli import main as cli_main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main(["run-sim", "--trajectory", KITTI00_GT, "--scans", "1800",
+                  "--engine", "device", "--out", "out/bench_kitti00"])
+    s = json.loads(buf.getvalue())
+    print(json.dumps({
+        "scans": s["scans"], "keyframes": s["keyframes"], "loops": s["loops"],
+        "ate_rmse_m": s["ate_rmse_m"], "rpe_rmse_m": s["rpe_rmse_m"],
+        "drift_pct": s["drift_pct"],
+        "stream_scans_per_sec": s.get("stream_scans_per_sec"),
+    }))
+
+
 def _run_phase(name: str) -> dict:
     """Run one phase in a subprocess (fresh relay connection) and parse its
     final JSON line. Falls back to in-process execution if spawning fails."""
@@ -209,22 +236,29 @@ def _run_phase(name: str) -> dict:
 
 
 def main():
-    if len(sys.argv) > 1 and sys.argv[1] in ("phase1", "phase2"):
+    if len(sys.argv) > 1 and sys.argv[1] in ("phase1", "phase2", "phase3"):
         globals()[sys.argv[1]]()
         return
     r1 = _run_phase("phase1")
     r2 = _run_phase("phase2")
+    extra = {
+        "odometry_ate_m": r1["ate_m"],
+        "n_scans": r1["n_scans"],
+        "backend": r1["backend"],
+        "full_pipeline": r2,
+    }
+    if os.path.exists(KITTI00_GT):
+        try:
+            extra["kitti00_sim"] = _run_phase("phase3")
+            extra["kitti00_sim"]["reference_ate_m"] = 1.61
+        except Exception as e:  # pragma: no cover
+            extra["kitti00_sim"] = {"error": str(e)[:200]}
     print(json.dumps({
         "metric": "ndt_odometry_scans_per_sec",
         "value": r1["scans_per_sec"],
         "unit": "scans/s/chip",
         "vs_baseline": round(r1["scans_per_sec"] / 10.0, 2),
-        "extra": {
-            "odometry_ate_m": r1["ate_m"],
-            "n_scans": r1["n_scans"],
-            "backend": r1["backend"],
-            "full_pipeline": r2,
-        },
+        "extra": extra,
     }))
 
 
