@@ -113,13 +113,16 @@ def cmd_run_sim(args):
                                np.pad(gt_stamps, (0, 16 - n_scans),
                                       mode="edge"), wn)
             jax.block_until_ready(warm.state.log)
-            if args.early_drain:
-                # pay the relay's first-readback stall NOW, while almost
-                # nothing has accumulated (cheap), instead of inside
-                # finalize() after GBs of streaming (100-400 s). Streaming
-                # then runs in post-readback mode (~98 MB/s h2d) — slower
-                # per chunk but usually a large net win on long runs.
-                float(warm.state.travel)
+            # also compile the finalize-path programs now (standalone
+            # pg.solve, batched cloud transform) — dispatches only, NO
+            # readback: any readback before streaming flips the relay into
+            # a degraded mode (measured 9 s/chunk; PERF.md)
+            from xchu_slam_tpu.models import pose_graph as _pg
+            from xchu_slam_tpu.models.pipeline import _transform_all_clouds
+            jax.block_until_ready(_pg.solve(
+                warm.state.db.opt_poses, warm.state.graph, warm.spec.gspec))
+            jax.block_until_ready(_transform_all_clouds(
+                warm.state.db.opt_poses, warm.state.db.clouds))
             del warm
         pipe = DeviceSlamPipeline(cfg, kf_points=4096,
                                   log_capacity=max(n_scans, 8192))
@@ -346,9 +349,6 @@ def main(argv=None):
                     help="TUM camera-frame GT file (e.g. KITTI 00): simulate "
                     "scans along the real trajectory in a corridor world")
     ps.add_argument("--seed", type=int, default=0)
-    ps.add_argument("--early-drain", action="store_true",
-                    help="trigger the relay's one-time first-readback stall "
-                    "during warmup instead of inside finalize")
     ps.add_argument("--loop-method", default="sc",
                     choices=["sc", "isc", "radius", "none"])
     ps.add_argument("--out", default="out/sim")

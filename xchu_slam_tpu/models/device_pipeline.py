@@ -378,9 +378,15 @@ class DeviceSlamPipeline:
     .odom_log/.loops` surface that `io/export.save_run` consumes."""
 
     def __init__(self, cfg: SlamConfig, kf_points: int = 4096,
-                 log_capacity: int = 8192):
+                 log_capacity: int = 8192, sync_every: int = 4):
         self.cfg = cfg
         self.spec = spec_from_config(cfg, kf_points, log_capacity)
+        # drain the device queue every N chunks: a shallow async backlog
+        # keeps the relay's first-readback stall at ~10 s instead of
+        # 8-20 MINUTES after thousands of undrained dispatches (measured;
+        # PERF.md "relay pathologies"). block_until_ready is not a readback.
+        self.sync_every = sync_every
+        self._chunks_fed = 0
         # sub-spec aliases for API parity with SlamPipeline (io/export reads
         # pipe.gspec for g2o information matrices)
         self.gspec = self.spec.gspec
@@ -438,6 +444,9 @@ class DeviceSlamPipeline:
         self.state = device_chunk_step(
             self.state, clouds, jnp.asarray(stamps), jnp.asarray(alts),
             jnp.asarray(gvalid), jnp.asarray(valid), self.spec)
+        self._chunks_fed += 1
+        if self.sync_every and self._chunks_fed % self.sync_every == 0:
+            jax.block_until_ready(self.state.log)
 
     def finalize(self) -> None:
         """Final pose-graph solve + ONE compact host readback.
