@@ -139,7 +139,10 @@ def phase2():
 
     # warm the compile cache on a throwaway pipeline (same static shapes);
     # lax.cond compiles every branch, so one chunk covers the whole program.
-    warm = DeviceSlamPipeline(cfg, kf_points=4096)
+    # sync_every=0: the per-chunk drain protects LONG runs' finalize stall
+    # (see PERF.md) but serializes transfer/compute overlap — for a 240-scan
+    # burst the pure pipelined rate is the honest steady-state number.
+    warm = DeviceSlamPipeline(cfg, kf_points=4096, sync_every=0)
     pfw = DeviceChunkPrefetcher(full_scans[:CHUNK],
                                 capacity=cfg.filter.max_raw_points,
                                 chunk=CHUNK, depth=2, threads=2)
@@ -151,7 +154,7 @@ def phase2():
     dt_full = float("inf")
     pipe = None
     for _rep in range(2):
-        pipe = DeviceSlamPipeline(cfg, kf_points=4096)
+        pipe = DeviceSlamPipeline(cfg, kf_points=4096, sync_every=0)
         pf2 = DeviceChunkPrefetcher(full_scans,
                                     capacity=cfg.filter.max_raw_points,
                                     chunk=CHUNK, depth=2, threads=2)
@@ -198,7 +201,7 @@ def phase3():
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        cli_main(["run-sim", "--trajectory", KITTI00_GT, "--scans", "1800",
+        cli_main(["run-sim", "--trajectory", KITTI00_GT, "--scans", "1000",
                   "--engine", "device", "--out", "out/bench_kitti00"])
     s = json.loads(buf.getvalue())
     print(json.dumps({
@@ -215,7 +218,7 @@ def _run_phase(name: str) -> dict:
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), name],
-            capture_output=True, text=True, timeout=1200,
+            capture_output=True, text=True, timeout=1800,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         sys.stderr.write(proc.stderr[-2000:])
         line = [l for l in proc.stdout.strip().splitlines()

@@ -99,31 +99,8 @@ def cmd_run_sim(args):
         # never resident at once)
         scans = sim.RenderedScans(world, gt, seed=args.seed,
                                   n_points=24_000, index=index)
-        # warm-compile the full device program on a throwaway pipeline BEFORE
-        # any staging thread exists: concurrent h2d transfers during an XLA
-        # compile stall the relay client ~23 s per chunk (measured; probes in
-        # PERF.md) — warm first, then stream at full rate
-        from xchu_slam_tpu.io.prefetch import ChunkStager
         with timers.time("compile"):
-            warm = DeviceSlamPipeline(cfg, kf_points=4096,
-                                      log_capacity=max(n_scans, 8192))
-            wst = ChunkStager(cfg.filter.max_raw_points, 16, n_buffers=1)
-            wch, wn = wst.stage([scans[i] for i in range(min(16, n_scans))])
-            warm.process_chunk(wch, gt_stamps[:16] if n_scans >= 16 else
-                               np.pad(gt_stamps, (0, 16 - n_scans),
-                                      mode="edge"), wn)
-            jax.block_until_ready(warm.state.log)
-            # also compile the finalize-path programs now (standalone
-            # pg.solve, batched cloud transform) — dispatches only, NO
-            # readback: any readback before streaming flips the relay into
-            # a degraded mode (measured 9 s/chunk; PERF.md)
-            from xchu_slam_tpu.models import pose_graph as _pg
-            from xchu_slam_tpu.models.pipeline import _transform_all_clouds
-            jax.block_until_ready(_pg.solve(
-                warm.state.db.opt_poses, warm.state.graph, warm.spec.gspec))
-            jax.block_until_ready(_transform_all_clouds(
-                warm.state.db.opt_poses, warm.state.db.clouds))
-            del warm
+            _warm_device_engine(cfg, scans, log_capacity=max(n_scans, 8192))
         pipe = DeviceSlamPipeline(cfg, kf_points=4096,
                                   log_capacity=max(n_scans, 8192))
         t0 = time.perf_counter()
@@ -216,6 +193,35 @@ def cmd_run_sim(args):
               file=sys.stderr)
 
 
+def _warm_device_engine(cfg, scans, kf_points: int = 4096,
+                        log_capacity: int = 8192):
+    """Compile the COMPLETE device program set on a throwaway pipeline BEFORE
+    any staging thread exists, with zero readbacks.
+
+    Two measured relay pathologies make the ordering load-bearing (PERF.md):
+    h2d transfers issued while XLA compiles stall ~23 s per chunk, and any
+    readback before streaming flips the relay into a degraded mode. So:
+    compile everything (chunk step, standalone pose-graph solve, batched
+    map-assembly transform) via dispatch-only calls, then stream."""
+    import jax
+
+    from xchu_slam_tpu.io.prefetch import ChunkStager
+    from xchu_slam_tpu.models import pose_graph as pg
+    from xchu_slam_tpu.models.device_pipeline import DeviceSlamPipeline
+    from xchu_slam_tpu.models.pipeline import _transform_all_clouds
+
+    warm = DeviceSlamPipeline(cfg, kf_points=kf_points,
+                              log_capacity=log_capacity)
+    stager = ChunkStager(cfg.filter.max_raw_points, 16, n_buffers=1)
+    ch, wn = stager.stage([scans[i] for i in range(min(16, len(scans)))])
+    warm.process_chunk(ch, 0.1 * np.arange(16, dtype=np.float32), wn)
+    jax.block_until_ready(warm.state.log)
+    jax.block_until_ready(pg.solve(
+        warm.state.db.opt_poses, warm.state.graph, warm.spec.gspec))
+    jax.block_until_ready(_transform_all_clouds(
+        warm.state.db.opt_poses, warm.state.db.clouds))
+
+
 def cmd_run_kitti(args):
     from xchu_slam_tpu.config import default_config
     from xchu_slam_tpu.io import kitti
@@ -243,9 +249,11 @@ def cmd_run_kitti(args):
     if args.engine == "device":
         from xchu_slam_tpu.models.device_pipeline import DeviceSlamPipeline
 
-        pipe = DeviceSlamPipeline(cfg, kf_points=4096,
-                                  log_capacity=max(len(files), 8192))
-        pf = DeviceChunkPrefetcher(LazyScans(files, _read),
+        scans = LazyScans(files, _read)
+        log_cap = max(len(files), 8192)
+        _warm_device_engine(cfg, scans, log_capacity=log_cap)
+        pipe = DeviceSlamPipeline(cfg, kf_points=4096, log_capacity=log_cap)
+        pf = DeviceChunkPrefetcher(scans,
                                    capacity=cfg.filter.max_raw_points,
                                    chunk=16, depth=2, threads=2)
         t0 = time.perf_counter()
