@@ -100,12 +100,13 @@ def cmd_run_sim(args):
         scans = sim.RenderedScans(world, gt, seed=args.seed,
                                   n_points=24_000, index=index)
         with timers.time("compile"):
-            _warm_device_engine(cfg, scans, log_capacity=max(n_scans, 8192))
+            _warm_device_engine(cfg, scans, log_capacity=max(n_scans, 8192),
+                                chunk=args.chunk)
         pipe = DeviceSlamPipeline(cfg, kf_points=4096,
                                   log_capacity=max(n_scans, 8192))
         t0 = time.perf_counter()
         pf = DeviceChunkPrefetcher(scans, capacity=cfg.filter.max_raw_points,
-                                   chunk=16, depth=2, threads=2)
+                                   chunk=args.chunk, depth=2, threads=2)
         base = 0
         chunk_ts = [time.perf_counter()]
         with timers.time("slam"):
@@ -194,7 +195,7 @@ def cmd_run_sim(args):
 
 
 def _warm_device_engine(cfg, scans, kf_points: int = 4096,
-                        log_capacity: int = 8192):
+                        log_capacity: int = 8192, chunk: int = 16):
     """Compile the COMPLETE device program set on a throwaway pipeline BEFORE
     any staging thread exists, with zero readbacks.
 
@@ -212,9 +213,9 @@ def _warm_device_engine(cfg, scans, kf_points: int = 4096,
 
     warm = DeviceSlamPipeline(cfg, kf_points=kf_points,
                               log_capacity=log_capacity)
-    stager = ChunkStager(cfg.filter.max_raw_points, 16, n_buffers=1)
-    ch, wn = stager.stage([scans[i] for i in range(min(16, len(scans)))])
-    warm.process_chunk(ch, 0.1 * np.arange(16, dtype=np.float32), wn)
+    stager = ChunkStager(cfg.filter.max_raw_points, chunk, n_buffers=1)
+    ch, wn = stager.stage([scans[i] for i in range(min(chunk, len(scans)))])
+    warm.process_chunk(ch, 0.1 * np.arange(chunk, dtype=np.float32), wn)
     jax.block_until_ready(warm.state.log)
     jax.block_until_ready(pg.solve(
         warm.state.db.opt_poses, warm.state.graph, warm.spec.gspec))
@@ -357,6 +358,8 @@ def main(argv=None):
                     help="TUM camera-frame GT file (e.g. KITTI 00): simulate "
                     "scans along the real trajectory in a corridor world")
     ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--chunk", type=int, default=16,
+                    help="scans per staged transfer / device dispatch")
     ps.add_argument("--loop-method", default="sc",
                     choices=["sc", "isc", "radius", "none"])
     ps.add_argument("--out", default="out/sim")

@@ -454,8 +454,14 @@ class DeviceSlamPipeline:
         Reads back only the small fields (counters, log, loop table) — NOT
         the keyframe clouds/descriptor DBs (~150 MB), which stay on device;
         export pulls the clouds once, in bulk, inside `assemble_map`."""
+        import sys
+        import time
+
         st = self.state
+        t0 = time.perf_counter()
         opt = pg.solve(st.db.opt_poses, st.graph, self.spec.gspec)
+        jax.block_until_ready(opt)
+        t1 = time.perf_counter()
         st = st._replace(db=st.db._replace(opt_poses=opt))
         self.state = st
         host = jax.device_get({
@@ -464,6 +470,8 @@ class DeviceSlamPipeline:
             "loop_i": st.graph.loop_i, "loop_j": st.graph.loop_j,
             "loop_info": st.graph.loop_info,
         })
+        print(f"finalize: solve {t1-t0:.1f}s, readback "
+              f"{time.perf_counter()-t1:.1f}s", file=sys.stderr)
         self.db = st.db  # device arrays (export reads via np.asarray)
         self.graph = st.graph
         self.kf_count = int(host["count"])
