@@ -81,9 +81,10 @@ def phase1():
         state, out_w = odometry.chunk_step(state, clouds_w, fcfg, ospec)
     jax.block_until_ready(out_w.pose)
 
-    # timed: best-of-3; no readbacks before/during the timed loops
-    best_dt = float("inf")
-    for _rep in range(3):
+    # timed: median of reps (the relay's rate is erratic rep to rep — the
+    # median is what the bench reliably reproduces; every rep is recorded)
+    rep_rates = []
+    for _rep in range(5):
         pf = DeviceChunkPrefetcher(scans[1:], capacity=fcfg.max_raw_points,
                                    chunk=CHUNK, depth=2, threads=2)
         filt = filter_scan(cl0, fcfg)
@@ -95,8 +96,9 @@ def phase1():
             chunk_poses.append((outs.pose, n_real))
         chunk_poses[-1][0].block_until_ready()
         rep_dt = time.perf_counter() - t0
-        print(f"rep {(n_scans-1)/rep_dt:.1f} scans/s", file=sys.stderr)
-        best_dt = min(best_dt, rep_dt)
+        rep_rates.append((n_scans - 1) / rep_dt)
+        print(f"rep {rep_rates[-1]:.1f} scans/s", file=sys.stderr)
+    med_rate = float(np.median(rep_rates))
 
     # readbacks (end of the timed region)
     gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
@@ -105,7 +107,8 @@ def phase1():
                     + [np.asarray(p)[:n] for p, n in chunk_poses])
     ate = metrics.ape_rmse(est[:, :3], gt_rel[:len(est)], align=False)
     print(json.dumps({
-        "scans_per_sec": round((n_scans - 1) / best_dt, 2),
+        "scans_per_sec": round(med_rate, 2),
+        "rep_scans_per_sec": [round(r, 1) for r in rep_rates],
         "ate_m": round(float(ate), 4),
         "n_scans": n_scans,
         "backend": jax.devices()[0].platform,
@@ -151,9 +154,9 @@ def phase2():
                            n_real)
     jax.block_until_ready(warm.state.log)
 
-    dt_full = float("inf")
+    rep_rates = []
     pipe = None
-    for _rep in range(2):
+    for _rep in range(3):
         pipe = DeviceSlamPipeline(cfg, kf_points=4096, sync_every=0)
         pf2 = DeviceChunkPrefetcher(full_scans,
                                     capacity=cfg.filter.max_raw_points,
@@ -166,8 +169,8 @@ def phase2():
             base += n_real
         jax.block_until_ready(pipe.state.log)
         rep_dt = time.perf_counter() - t1
-        print(f"rep {n_full/rep_dt:.1f} scans/s (full)", file=sys.stderr)
-        dt_full = min(dt_full, rep_dt)
+        rep_rates.append(n_full / rep_dt)
+        print(f"rep {rep_rates[-1]:.1f} scans/s (full)", file=sys.stderr)
 
     # readbacks (end of the timed region)
     pipe.finalize()
@@ -178,7 +181,8 @@ def phase2():
     ate_full = metrics.ape_rmse(kf_opt[:, :3], gt2_rel[idx], align=False)
     print(json.dumps({
         "scans": n_full,
-        "scans_per_sec": round(n_full / dt_full, 2),
+        "scans_per_sec": round(float(np.median(rep_rates)), 2),
+        "rep_scans_per_sec": [round(r, 1) for r in rep_rates],
         "keyframes": int(pipe.db.count),
         "loops": pipe.loop_count,
         "ate_m": round(float(ate_full), 4),
@@ -190,10 +194,12 @@ KITTI00_GT = "/root/reference/kitti_ground_truth_tum/00.txt"
 
 def phase3():
     """KITTI-00 accuracy benchmark: SLAM along the real seq-00 trajectory
-    (simulated corridor world — the image ships GT but no velodyne data),
-    1800-scan slice covering the first genuine loop revisit. Reports
-    evo-convention aligned ATE vs the reference's published 1.61 m
-    (BASELINE.md) plus the sustained streaming rate."""
+    (simulated corridor world — the image ships GT but no velodyne data).
+    1800 scans cover the sequence's FIRST genuine revisit (scan ~1398 returns
+    to scan ~588's street, computed from the GT file), so the recorded
+    artifact exercises the whole loop chain: SC retrieval → ICP verify →
+    Cauchy-robust PGO. Reports evo-convention aligned ATE vs the reference's
+    published 1.61 m (BASELINE.md) plus the sustained streaming rate."""
     import contextlib
     import io
 
@@ -201,7 +207,7 @@ def phase3():
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        cli_main(["run-sim", "--trajectory", KITTI00_GT, "--scans", "1000",
+        cli_main(["run-sim", "--trajectory", KITTI00_GT, "--scans", "1800",
                   "--engine", "device", "--out", "out/bench_kitti00"])
     s = json.loads(buf.getvalue())
     print(json.dumps({
@@ -216,9 +222,12 @@ def _run_phase(name: str) -> dict:
     """Run one phase in a subprocess (fresh relay connection) and parse its
     final JSON line. Falls back to in-process execution if spawning fails."""
     try:
+        # phase3 gets extra headroom: the relay's finalize readback stall is
+        # erratic (150 s typical, worse tails measured; PERF.md)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), name],
-            capture_output=True, text=True, timeout=1800,
+            capture_output=True, text=True,
+            timeout=2700 if name == "phase3" else 1800,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         sys.stderr.write(proc.stderr[-2000:])
         line = [l for l in proc.stdout.strip().splitlines()
@@ -240,6 +249,8 @@ def _run_phase(name: str) -> dict:
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] in ("phase1", "phase2", "phase3"):
+        from xchu_slam_tpu.utils import compile_cache
+        compile_cache.enable()
         globals()[sys.argv[1]]()
         return
     r1 = _run_phase("phase1")

@@ -17,6 +17,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from xchu_slam_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -227,3 +227,66 @@ def test_verify_and_apply_rejects_far_candidate():
     # and cand = -1 (no retrieval hit) is a no-op
     out2 = dp._verify_and_apply(state, jnp.int32(11), jnp.int32(-1), spec)
     assert int(out2.loop_count) == 0
+
+
+def test_log_wrap_archives_rows(sim_scans):
+    """Runs longer than log_capacity must not lose the earliest odometry rows
+    (round-1 bug: slot = scan_count % capacity silently overwrote them). The
+    engine archives the ring to host before a wrapping feed."""
+    cfg = _cfg()
+    scans = sim_scans[:40]
+
+    ref = dp.DeviceSlamPipeline(cfg, kf_points=1024, log_capacity=128)
+    for i, (xyz, inten) in enumerate(scans):
+        cl = make_cloud(xyz, inten, capacity=cfg.filter.max_raw_points)
+        ref.process_scan(cl, stamp=0.1 * i)
+    ref.finalize()
+
+    small = dp.DeviceSlamPipeline(cfg, kf_points=1024, log_capacity=16)
+    with pytest.warns(RuntimeWarning, match="log capacity"):
+        for i, (xyz, inten) in enumerate(scans):
+            cl = make_cloud(xyz, inten, capacity=cfg.filter.max_raw_points)
+            small.process_scan(cl, stamp=0.1 * i)
+    small.finalize()
+
+    assert small.scan_count == ref.scan_count == len(scans)
+    assert len(small.odom_log) == len(scans)
+    np.testing.assert_array_equal(small.odometry_trajectory(),
+                                  ref.odometry_trajectory())
+    assert [r["stamp"] for r in small.odom_log] == \
+        [r["stamp"] for r in ref.odom_log]
+
+
+def test_log_wrap_archives_rows_chunked(sim_scans):
+    """Same guarantee through the chunked ingest path (wrap mid-stream)."""
+    from xchu_slam_tpu.io.prefetch import DeviceChunkPrefetcher
+
+    cfg = _cfg()
+    scans = sim_scans[:40]
+    ref = dp.DeviceSlamPipeline(cfg, kf_points=1024, log_capacity=128)
+    for i, (xyz, inten) in enumerate(scans):
+        cl = make_cloud(xyz, inten, capacity=cfg.filter.max_raw_points)
+        ref.process_scan(cl, stamp=0.1 * i)
+    ref.finalize()
+
+    small = dp.DeviceSlamPipeline(cfg, kf_points=1024, log_capacity=16)
+    pf = DeviceChunkPrefetcher(scans, capacity=cfg.filter.max_raw_points,
+                               chunk=8, depth=2, threads=2)
+    base = 0
+    with pytest.warns(RuntimeWarning, match="log capacity"):
+        for clouds, n_real in pf:
+            stamps = 0.1 * (base + np.arange(clouds.xyz.shape[0]))
+            small.process_chunk(clouds, stamps, n_real)
+            base += n_real
+    small.finalize()
+    assert small.scan_count == len(scans)
+    np.testing.assert_array_equal(small.odometry_trajectory(),
+                                  ref.odometry_trajectory())
+
+    with pytest.raises(ValueError, match="log_capacity"):
+        tiny = dp.DeviceSlamPipeline(cfg, kf_points=1024, log_capacity=4)
+        pf = DeviceChunkPrefetcher(scans[:8],
+                                   capacity=cfg.filter.max_raw_points,
+                                   chunk=8, depth=1, threads=1)
+        for clouds, n_real in pf:
+            tiny.process_chunk(clouds, np.zeros(8, np.float32), n_real)

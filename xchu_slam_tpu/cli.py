@@ -401,6 +401,8 @@ def main(argv=None):
     pi.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
+    from xchu_slam_tpu.utils import compile_cache
+    compile_cache.enable()
     args.fn(args)
 
 

@@ -396,6 +396,17 @@ class DeviceSlamPipeline:
         self.ospec = self.spec.ospec
         self.kf_points = kf_points
         self.state: DevState | None = None
+        # log-wrap protection: the device log is a ring of log_capacity rows
+        # (device_step writes slot = scan_count % capacity). Rather than
+        # silently losing the earliest rows on runs longer than the capacity
+        # (round-1 bug), the host archives the buffer BEFORE a feed would
+        # overwrite un-archived rows. The archive readback costs relay
+        # throughput (PERF.md "post-readback mode"), so size log_capacity to
+        # the run length to avoid it — this path is the correctness net.
+        self._scans_fed = 0
+        self._archived = 0
+        self._log_archive: list[np.ndarray] = []
+        self._warned_wrap = False
         # filled by finalize()
         self.db = None
         self.graph = None
@@ -414,11 +425,14 @@ class DeviceSlamPipeline:
                                capacity=self.cfg.filter.max_raw_points)
         if self.state is None:
             self.state = init_state(self.spec, cloud, stamp, self.cfg)
+            self._scans_fed = 1
             return
+        self._reserve_log(1)
         self.state = device_step(
             self.state, cloud, jnp.float32(stamp),
             jnp.float32(gps_alt if gps_alt is not None else 0.0),
             jnp.bool_(gps_alt is not None), self.spec)
+        self._scans_fed += 1
 
     def process_chunk(self, clouds: Cloud, stamps, n_real: int,
                       gps_alts=None) -> None:
@@ -434,6 +448,10 @@ class DeviceSlamPipeline:
         else:
             alts = np.nan_to_num(np.asarray(gps_alts, np.float32))
             gvalid = np.isfinite(np.asarray(gps_alts, np.float32))
+        if chunk > self.spec.log_capacity:
+            raise ValueError(
+                f"chunk ({chunk}) exceeds log_capacity "
+                f"({self.spec.log_capacity}): rows would be lost mid-dispatch")
         valid = np.arange(chunk) < n_real
         if self.state is None:
             first = jax.tree.map(lambda a: a[0], clouds)
@@ -441,12 +459,34 @@ class DeviceSlamPipeline:
                                     self.cfg)
             valid = valid.copy()
             valid[0] = False
+        else:
+            self._reserve_log(int(n_real))
         self.state = device_chunk_step(
             self.state, clouds, jnp.asarray(stamps), jnp.asarray(alts),
             jnp.asarray(gvalid), jnp.asarray(valid), self.spec)
+        self._scans_fed += int(n_real)
         self._chunks_fed += 1
         if self.sync_every and self._chunks_fed % self.sync_every == 0:
             jax.block_until_ready(self.state.log)
+
+    def _reserve_log(self, n_new: int) -> None:
+        """Archive device log rows to host before a feed of `n_new` scans
+        would overwrite rows not yet archived (ring wrap)."""
+        cap = self.spec.log_capacity
+        if self._scans_fed + n_new - self._archived <= cap:
+            return
+        if not self._warned_wrap:
+            import warnings
+            warnings.warn(
+                f"device log capacity ({cap}) is smaller than the run; "
+                f"archiving rows to host mid-run (costs a device readback — "
+                f"set log_capacity >= the expected scan count to avoid)",
+                RuntimeWarning, stacklevel=3)
+            self._warned_wrap = True
+        log = np.asarray(jax.device_get(self.state.log))
+        self._log_archive.extend(
+            log[t % cap] for t in range(self._archived, self._scans_fed))
+        self._archived = self._scans_fed
 
     def finalize(self) -> None:
         """Final pose-graph solve + ONE compact host readback.
@@ -477,9 +517,12 @@ class DeviceSlamPipeline:
         self.kf_count = int(host["count"])
         self.loop_count = int(host["loop_count"])
         self.scan_count = int(host["scan_count"])
-        n = min(self.scan_count, self.spec.log_capacity)
         from xchu_slam_tpu.models.pipeline import LoopRecord
-        log = host["log"][:n]
+        cap = self.spec.log_capacity
+        tail = [host["log"][t % cap]
+                for t in range(self._archived, self.scan_count)]
+        log = np.asarray(self._log_archive + tail)
+        n = len(log)
         self.odom_log = [
             {"stamp": float(log[i, 10]), "pose": log[i, :6],
              "iterations": int(log[i, 6]), "fitness": float(log[i, 7]),
