@@ -208,7 +208,7 @@ def test_verify_and_apply_accepts_true_loop():
     k = jnp.int32(11)
     # candidate 10 is 2 m away with an identical cloud → ICP converges to the
     # true 2 m offset; fitness ≈ 0
-    out = dp._verify_and_apply(state, k, jnp.int32(10), spec)
+    out = dp._verify_and_apply(state, k, jnp.int32(10), jnp.float32(0.0), spec)
     assert int(out.loop_count) == 1
     assert int(out.graph.loop_i[0]) == 10 and int(out.graph.loop_j[0]) == 11
     T = np.asarray(out.graph.loop_T[0])
@@ -222,10 +222,10 @@ def test_verify_and_apply_rejects_far_candidate():
     rng = np.random.default_rng(0)
     state, _ = _planted_state(spec, cfg, rng)
     # candidate 0 is 22 m away > max_loop_dist → gated out before ICP
-    out = dp._verify_and_apply(state, jnp.int32(11), jnp.int32(0), spec)
+    out = dp._verify_and_apply(state, jnp.int32(11), jnp.int32(0), jnp.float32(0.0), spec)
     assert int(out.loop_count) == 0
     # and cand = -1 (no retrieval hit) is a no-op
-    out2 = dp._verify_and_apply(state, jnp.int32(11), jnp.int32(-1), spec)
+    out2 = dp._verify_and_apply(state, jnp.int32(11), jnp.int32(-1), jnp.float32(0.0), spec)
     assert int(out2.loop_count) == 0
 
 

@@ -96,6 +96,13 @@ def test_save_run_artifacts(tiny_pipe, tmp_path):
     assert len(stamps) == int(tiny_pipe.db.count)
     g2o = open(paths["g2o"]).read()
     assert g2o.count("EDGE_SE3:QUAT") >= int(tiny_pipe.db.count) - 1
+    # rendered overview (the reference's rviz view as a static artifact):
+    # a real PNG with content
+    assert "map_png" in paths
+    with open(paths["map_png"], "rb") as f:
+        head = f.read(8)
+    assert head == b"\x89PNG\r\n\x1a\n"
+    assert os.path.getsize(paths["map_png"]) > 10_000
 
 
 def test_checkpoint_resume(tiny_pipe, tmp_path):

@@ -139,3 +139,26 @@ def test_icp_fitness_high_for_bad_match(rng):
     m = jnp.ones(2048, bool)
     res = icp.align(a, m, b, m, jnp.eye(4), icp.IcpSpec(max_iterations=20))
     assert float(res.fitness) > 0.3  # reference acceptance gate would reject
+
+
+def test_sc_yaw_sign_convention(rng):
+    """res.yaw = ψ_cand − ψ_query (wrapped): the convention _verify_and_apply
+    relies on when it initializes ICP's heading with −yaw."""
+    world = sim.make_world(2, extent=90.0)
+    g = np.random.default_rng(2)
+    K, R, S = 64, SCSPEC.num_ring, SCSPEC.num_sector
+    db = np.zeros((K, R, S), np.float32)
+    psi_c, psi_q = 0.9, 0.1
+    p_c = np.array([5.0, -3.0, 0, 0, 0, psi_c], np.float32)
+    xyz, _, m = scan_at(world, p_c, g)
+    db[0] = np.asarray(sc.make_descriptor(xyz, m, SCSPEC))
+    p_q = p_c.copy()
+    p_q[5] = psi_q
+    xyz, _, m = scan_at(world, p_q, g)
+    q = sc.make_descriptor(xyz, m, SCSPEC)
+    res = sc.detect_loop(q, jnp.asarray(db), jnp.int32(40), SCSPEC)
+    assert bool(res.found) and int(res.idx) == 0
+    expect = psi_c - psi_q
+    err = float(jnp.arctan2(jnp.sin(res.yaw - expect), jnp.cos(res.yaw - expect)))
+    # sector quantization is 2π/60 ≈ 0.105 rad
+    assert abs(err) < 0.2, (float(res.yaw), expect)

@@ -102,3 +102,77 @@ def test_pipeline_map_assembly(pipeline_run):
     m = pipe.assemble_map(voxel=0.5)
     assert len(m) > 10_000
     assert np.isfinite(m).all()
+
+
+def _yaw_drift_pipe(use_sc_yaw: bool):
+    """Pipeline whose DB holds a genuine revisit with a LARGE heading error in
+    the drifted estimate: keyframe 0 and the query see the same place, but the
+    query's stored pose is 2.0 rad off in yaw."""
+    import jax.numpy as jnp
+
+    from xchu_slam_tpu.ops.filter import filter_scan
+    from xchu_slam_tpu.types import make_cloud
+
+    cfg = SlamConfig(
+        filter=FilterConfig(max_raw_points=16384, max_points=8192,
+                            outlier_method="none"),
+        # fitness (mean-sq NN dist) scales with density: a single-keyframe
+        # 4096-pt submap of this sparse world sits ~5 even for a perfect
+        # lock — the pose assertions below are the real check here
+        loop=LoopConfig(method="sc", submap_half_width=0,
+                        icp_fitness_thresh=8.0, max_correction=5.0,
+                        use_sc_yaw=use_sc_yaw),
+        pgo=PgoConfig(max_keyframes=16, max_loops=4),
+    ).override({"sc.num_exclude_recent": 2, "sc.dist_thresh": 0.5})
+    pipe = SlamPipeline(cfg, kf_points=4096)
+    world = sim.make_world(4, extent=70.0, ground_pts=60_000)
+    g = np.random.default_rng(4)
+
+    def filt_at(pose):
+        xyz, inten = sim.render_scan(world, np.asarray(pose, np.float32), g,
+                                     n_points=10_000)
+        return filter_scan(make_cloud(xyz, inten, capacity=16384), cfg.filter)
+
+    p0 = np.zeros(6, np.float32)
+    pipe._last_kf_odom = p0
+    pipe._add_kf(p0, 0.0, filt_at(p0), opt_pose=p0)
+    # two empty placeholder keyframes (zero descriptors never match)
+    far = make_cloud(np.zeros((1, 3), np.float32), capacity=16384)
+    empty = filter_scan(far, cfg.filter)  # origin point is range-cropped away
+    pipe._add_kf(np.array([200, 0, 0, 0, 0, 0], np.float32), 1.0, empty,
+                 opt_pose=np.array([200, 0, 0, 0, 0, 0], np.float32))
+    pipe._add_kf(np.array([210, 0, 0, 0, 0, 0], np.float32), 2.0, empty,
+                 opt_pose=np.array([210, 0, 0, 0, 0, 0], np.float32))
+    # query: true revisit of keyframe 0 at heading 1.3, but the stored
+    # (drifted) estimate has heading 1.3 − 2.0
+    pq_true = np.array([0.4, 0.3, 0, 0, 0, 1.3], np.float32)
+    pq_drift = pq_true.copy()
+    pq_drift[5] -= 2.0
+    pipe._add_kf(pq_drift, 3.0, filt_at(pq_true), opt_pose=pq_drift)
+    return pipe, pq_true
+
+
+def test_sc_yaw_initializes_icp_under_heading_drift():
+    """VERDICT #8: with use_sc_yaw the descriptor's rotation estimate seeds
+    ICP and a 2.0-rad heading-drift revisit verifies with the TRUE relative
+    pose; without it, ICP starts 2 rad off and the candidate is rejected
+    (or converges to a wrong pose)."""
+    from xchu_slam_tpu.utils import se3
+    import jax.numpy as jnp
+
+    pipe, pq_true = _yaw_drift_pipe(use_sc_yaw=True)
+    v = pipe.detect_and_verify_snapshot(3, 100.0)
+    assert v is not None and v.i == 0
+    p_rel = np.asarray(se3.matrix_to_pose(jnp.asarray(v.T)))
+    yaw_err = np.arctan2(np.sin(p_rel[5] - pq_true[5]),
+                         np.cos(p_rel[5] - pq_true[5]))
+    assert abs(yaw_err) < 0.1, p_rel
+    assert np.linalg.norm(p_rel[:2] - pq_true[:2]) < 0.5, p_rel
+
+    pipe2, _ = _yaw_drift_pipe(use_sc_yaw=False)
+    v2 = pipe2.detect_and_verify_snapshot(3, 100.0)
+    if v2 is not None:  # if ICP accepted anyway, it locked onto a WRONG pose
+        p2 = np.asarray(se3.matrix_to_pose(jnp.asarray(v2.T)))
+        yaw_err2 = np.arctan2(np.sin(p2[5] - pq_true[5]),
+                              np.cos(p2[5] - pq_true[5]))
+        assert abs(yaw_err2) > 0.5, "without yaw-init this drift should not verify"

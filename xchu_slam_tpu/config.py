@@ -130,6 +130,11 @@ class LoopConfig:
     submap_points: int = 16384      # fixed submap cloud capacity for ICP
     async_detect: bool = False      # run detect+verify on a worker thread
     # (the reference's LoopClosure/ICPRefine threads, without the mutexes)
+    use_sc_yaw: bool = True         # initialize ICP's heading from the SC/ISC
+    # rotation estimate instead of the drifted pose difference. The reference
+    # computes this yaw (Scancontext.cpp:416-420) and then discards it
+    # (pgo_node.cpp:344-363) — a quirk deliberately fixed here: under large
+    # heading drift the descriptor's rotation estimate is what lets ICP lock.
 
 
 @dataclass(frozen=True)

@@ -112,6 +112,56 @@ def write_markers(path: str, poses: np.ndarray,
         }, f)
 
 
+def render_map_png(path: str, map_xyz: np.ndarray, traj_xyz: np.ndarray,
+                   loops: list[tuple[int, int]], max_map_points: int = 200_000,
+                   title: str = "") -> None:
+    """Rendered run overview: top-down map + trajectory + loop edges to PNG.
+
+    The reference publishes these live to rviz (global map + MarkerArray,
+    `pgo_node.cpp:744-900`, profile `rviz/mapping.rviz`); headless runs here
+    get one static render per run instead — same content (map cloud, blue
+    pose nodes, green odometry path, red loop edges)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    map_xyz = np.asarray(map_xyz)
+    traj_xyz = np.asarray(traj_xyz)
+    fig, ax = plt.subplots(figsize=(10, 10), dpi=110)
+    if len(map_xyz):
+        if len(map_xyz) > max_map_points:
+            sel = np.linspace(0, len(map_xyz) - 1, max_map_points).astype(int)
+            map_xyz = map_xyz[sel]
+        z = map_xyz[:, 2]
+        lo, hi = np.percentile(z, [2, 98]) if len(z) else (0.0, 1.0)
+        ax.scatter(map_xyz[:, 0], map_xyz[:, 1], c=np.clip(z, lo, hi),
+                   s=0.3, cmap="viridis", alpha=0.35, linewidths=0,
+                   rasterized=True)
+    if len(traj_xyz):
+        ax.plot(traj_xyz[:, 0], traj_xyz[:, 1], "-", color="#2e7d32",
+                lw=1.4, label="optimized trajectory")
+        ax.scatter(traj_xyz[:, 0], traj_xyz[:, 1], s=4, color="#1565c0",
+                   zorder=3, label="keyframes")
+        ax.scatter(*traj_xyz[0, :2], marker="*", s=120, color="#1565c0",
+                   zorder=4)
+    for (i, j) in loops:
+        if i < len(traj_xyz) and j < len(traj_xyz):
+            ax.plot([traj_xyz[i, 0], traj_xyz[j, 0]],
+                    [traj_xyz[i, 1], traj_xyz[j, 1]], "-", color="#c62828",
+                    lw=1.0, alpha=0.9, zorder=5)
+    if loops:
+        ax.plot([], [], "-", color="#c62828", label=f"{len(loops)} loop edges")
+    ax.set_aspect("equal")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    if title:
+        ax.set_title(title)
+    ax.legend(loc="upper right", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
 def save_run(pipe, out_dir: str, to_camera_frame: bool = False,
              cam_T: np.ndarray | None = None) -> dict:
     """Export all run artifacts from a SlamPipeline. Returns file paths.
@@ -148,7 +198,8 @@ def save_run(pipe, out_dir: str, to_camera_frame: bool = False,
     write_pcd(paths["trajectory_pcd"], T_opt[:, :3, 3])
 
     paths["final_map_pcd"] = os.path.join(out_dir, "finalMap.pcd")
-    write_pcd(paths["final_map_pcd"], pipe.assemble_map(voxel=0.5))
+    map_pts = pipe.assemble_map(voxel=0.5)
+    write_pcd(paths["final_map_pcd"], map_pts)
 
     n = int(pipe.db.count)
     between = np.asarray(pipe.graph.between_T[:n])
@@ -162,7 +213,16 @@ def save_run(pipe, out_dir: str, to_camera_frame: bool = False,
               odom_info=(pipe.gspec.odom_info_t, pipe.gspec.odom_info_r))
 
     paths["markers"] = os.path.join(out_dir, "markers.json")
-    write_markers(paths["markers"], T_opt, [(i, j) for (i, j, _Z, _f) in loops])
+    loop_pairs = [(i, j) for (i, j, _Z, _f) in loops]
+    write_markers(paths["markers"], T_opt, loop_pairs)
+
+    paths["map_png"] = os.path.join(out_dir, "map.png")
+    try:
+        render_map_png(paths["map_png"], map_pts, T_opt[:, :3, 3], loop_pairs,
+                       title=f"{n} keyframes, {len(loop_pairs)} loops")
+    except Exception as e:  # rendering must never fail a run export
+        del paths["map_png"]
+        print(f"map.png render skipped: {e}")
 
     if getattr(pipe, "odom_log", None):
         # per-scan diagnostics (the reference's per-scan console block,

@@ -62,6 +62,7 @@ class DevSpec(NamedTuple):
     submap_half_width: int
     submap_points: int
     use_gps: bool
+    use_sc_yaw: bool = True
     log_capacity: int = 8192
 
 
@@ -86,6 +87,7 @@ def spec_from_config(cfg: SlamConfig, kf_points: int = 4096,
         submap_half_width=cfg.loop.submap_half_width,
         submap_points=cfg.loop.submap_points,
         use_gps=cfg.pgo.use_gps,
+        use_sc_yaw=cfg.loop.use_sc_yaw,
         log_capacity=log_capacity,
     )
 
@@ -121,21 +123,25 @@ def _sc_radius_candidate(state: DevState, k, stamp, spec: DevSpec):
 
 
 def _detect_candidate(state: DevState, k, stamp, spec: DevSpec):
-    """Method-dispatched retrieval (static choice, traced data)."""
+    """Method-dispatched retrieval (static choice, traced data).
+
+    Returns (idx, found, yaw) — yaw is the descriptor-measured relative
+    heading ψ_cand − ψ_query (0 for methods without a rotation estimate)."""
     db = state.db
     if spec.method == "sc":
         res = sc.detect_loop(db.sc_db[k], db.sc_db, db.count, spec.scspec)
-        return res.idx, res.found
+        return res.idx, res.found, res.yaw
     if spec.method == "isc":
         res = isc_ops.detect_loop(db.isc_db[k], db.isc_db, db.count,
                                   db.poses[:, :3], db.travel, spec.iscspec)
-        return res.idx, res.found
+        return res.idx, res.found, res.yaw
     if spec.method == "radius":
-        return _sc_radius_candidate(state, k, stamp, spec)
-    return jnp.int32(-1), jnp.bool_(False)
+        idx, found = _sc_radius_candidate(state, k, stamp, spec)
+        return idx, found, jnp.float32(0.0)
+    return jnp.int32(-1), jnp.bool_(False), jnp.float32(0.0)
 
 
-def _verify_and_apply(state: DevState, k, cand, spec: DevSpec) -> DevState:
+def _verify_and_apply(state: DevState, k, cand, yaw, spec: DevSpec) -> DevState:
     """ICP-verify candidate and, on acceptance, add the loop factor and
     re-solve the graph — all under conds so rejected/absent candidates cost
     one distance check."""
@@ -150,6 +156,12 @@ def _verify_and_apply(state: DevState, k, cand, spec: DevSpec) -> DevState:
             se3.pose_to_matrix(db.opt_poses[k]),
             precision=_PREC,
         )
+        if spec.use_sc_yaw and spec.method in ("sc", "isc"):
+            # heading from the descriptor's rotation estimate (−yaw = query's
+            # heading in cand's frame) instead of the drifted pose difference;
+            # the reference discards this value (pgo_node.cpp:344-363)
+            p_init = se3.matrix_to_pose(T_init)
+            T_init = se3.pose_to_matrix(p_init.at[5].set(-yaw))
         res = icp.align(db.clouds[k], db.cloud_mask[k], tgt_xyz, tgt_mask,
                         T_init, spec.icpspec)
         corr = jnp.linalg.norm(res.T[:3, 3] - T_init[:3, 3])
@@ -248,12 +260,12 @@ def _add_keyframe_branch(state: DevState, filt: Cloud, pose, stamp,
         do_detect = (k >= 1) & (k % spec.detect_period == 0)
 
         def detect(state: DevState) -> DevState:
-            cand, found = _detect_candidate(state, k, stamp, spec)
+            cand, found, yaw = _detect_candidate(state, k, stamp, spec)
             cand = jnp.where(found, cand, jnp.int32(-1))
             state = state._replace(
                 diag=state.diag.at[0].set(cand.astype(jnp.float32))
                 .at[1].set(found.astype(jnp.float32)))
-            return _verify_and_apply(state, k, cand, spec)
+            return _verify_and_apply(state, k, cand, yaw, spec)
 
         state = jax.lax.cond(do_detect, detect, lambda s: s, state)
     return state

@@ -357,16 +357,19 @@ class SlamPipeline:
         db = self.db  # atomic snapshot (arrays are immutable)
         method = cfg.loop.method
         cand = -1
+        yaw = None  # descriptor-measured relative yaw (ψ_cand − ψ_query)
         if method == "sc":
             res = sc.detect_loop(db.sc_db[k], db.sc_db, db.count, self.scspec)
             if bool(res.found):
                 cand = int(res.idx)
+                yaw = float(res.yaw)
         elif method == "isc":
             res = isc_ops.detect_loop(
                 db.isc_db[k], db.isc_db, db.count,
                 db.poses[:, :3], db.travel, self.iscspec)
             if bool(res.found):
                 cand = int(res.idx)
+                yaw = float(res.yaw)
         elif method == "radius":
             idx, found = _radius_candidate(
                 db, jnp.int32(k), jnp.float32(stamp),
@@ -391,6 +394,13 @@ class SlamPipeline:
             se3.pose_to_matrix(db.opt_poses[k]),
             precision=_PREC,
         )
+        if cfg.loop.use_sc_yaw and yaw is not None:
+            # descriptor yaw = ψ_cand − ψ_query, so the true relative heading
+            # (query expressed in cand's frame) is −yaw; replace the drifted
+            # estimate's heading with it (the reference discards this value,
+            # pgo_node.cpp:344-363 — see LoopConfig.use_sc_yaw)
+            p_init = se3.matrix_to_pose(T_init)
+            T_init = se3.pose_to_matrix(p_init.at[5].set(-yaw))
         res = icp.align(db.clouds[k], db.cloud_mask[k],
                         tgt_xyz, tgt_mask, T_init, self.icpspec)
         fitness = float(res.fitness)
