@@ -189,6 +189,114 @@ def phase2():
     }))
 
 
+def phase4():
+    """Mesh-engine scaling ladder on the virtual CPU mesh (the image exposes
+    ONE TPU chip, so multi-device wall-clock is measured on virtual devices —
+    the same substrate the equivalence tests run on).
+
+    WEAK scaling: per-device NDT work held constant (scan size ∝ N) while the
+    DB-sharded retrieval / factor-sharded PGO per-device work SHRINKS with N.
+    Host caveat recorded in the output: this container has `os.cpu_count()`
+    cores — N beyond that time-slices cores, so those rows measure correctness
+    + collective overhead, not speedup. Efficiency vs the ≥80 % BASELINE
+    target is eff(N) = t_step(1)/t_step(N) with N× work per step."""
+    import os as _os
+
+    _os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = _os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        _os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from xchu_slam_tpu.config import default_config
+    from xchu_slam_tpu.models.device_pipeline import DeviceSlamPipeline
+    from xchu_slam_tpu.parallel import sharded
+    from xchu_slam_tpu.types import make_cloud
+    from xchu_slam_tpu.utils import sim
+
+    world = sim.make_world(3, extent=80.0, ground_pts=60_000)
+    gt = sim.loop_trajectory(n_scans=28, radius=18.0, speed=1.0)
+    rows = []
+    for n_dev in (1, 2, 4, 8):
+        pts = 1024 * n_dev          # post-filter capacity ∝ N (weak scaling)
+        raw = 4 * pts
+        cfg = default_config().override({
+            "filter.max_raw_points": raw, "filter.max_points": pts,
+            "filter.outlier_method": "none",
+            "ndt.grid_x": 64, "ndt.grid_y": 64, "ndt.grid_z": 16,
+            "pgo.max_keyframes": 2048, "pgo.max_loops": 256,
+        })
+        rng = np.random.default_rng(3)
+        scans = [sim.render_scan(world, p, rng, n_points=3 * pts)
+                 for p in gt]
+        clouds = [make_cloud(x, i, capacity=raw) for x, i in scans]
+        mesh = sharded.make_mesh(n_dev) if n_dev > 1 else None
+        pipe = DeviceSlamPipeline(cfg, kf_points=4096, log_capacity=64,
+                                  sync_every=0, mesh=mesh)
+        for i, cl in enumerate(clouds[:4]):     # warm/compile
+            pipe.process_scan(cl, stamp=0.1 * i)
+        jax.block_until_ready(pipe.state.log)
+        t0 = time.perf_counter()
+        for i, cl in enumerate(clouds[4:]):
+            pipe.process_scan(cl, stamp=0.1 * (4 + i))
+        jax.block_until_ready(pipe.state.log)
+        dt = time.perf_counter() - t0
+        per_step_ms = 1e3 * dt / len(clouds[4:])
+        rows.append({"devices": n_dev, "points_per_scan": pts,
+                     "step_ms": round(per_step_ms, 2)})
+        print(f"N={n_dev}: {per_step_ms:.1f} ms/step ({pts} pts)",
+              file=sys.stderr)
+    base = rows[0]["step_ms"]
+    for r in rows:
+        r["weak_efficiency"] = round(base / r["step_ms"], 3)
+    print(json.dumps({"host_cores": os.cpu_count(), "rows": rows}))
+
+
+def phase5():
+    """Single-chip SPMD overhead on the real backend: the mesh(1) engine
+    (shard_map-wrapped step with degenerate collectives) vs the plain engine,
+    same scans — the cost of adopting the multi-chip program shape."""
+    import jax
+
+    from xchu_slam_tpu.config import default_config
+    from xchu_slam_tpu.models.device_pipeline import DeviceSlamPipeline
+    from xchu_slam_tpu.parallel import sharded
+    from xchu_slam_tpu.types import make_cloud
+    from xchu_slam_tpu.utils import sim
+
+    cfg = default_config().override({
+        "filter.max_raw_points": 32768, "filter.max_points": 16384,
+        "ndt.grid_x": 80, "ndt.grid_y": 80, "ndt.grid_z": 24,
+    })
+    world = _sim_setup()
+    gt = sim.loop_trajectory(n_scans=64, radius=30.0, speed=1.0)
+    rng = np.random.default_rng(5)
+    clouds = [make_cloud(*sim.render_scan(world, p, rng, n_points=24_000),
+                         capacity=32768) for p in gt]
+
+    out = {}
+    for name, mesh in (("plain", None), ("mesh1", sharded.make_mesh(1))):
+        pipe = DeviceSlamPipeline(cfg, kf_points=4096, log_capacity=64,
+                                  sync_every=0, mesh=mesh)
+        for i, cl in enumerate(clouds[:8]):
+            pipe.process_scan(cl, stamp=0.1 * i)
+        jax.block_until_ready(pipe.state.log)
+        t0 = time.perf_counter()
+        for i, cl in enumerate(clouds[8:]):
+            pipe.process_scan(cl, stamp=0.1 * (8 + i))
+        jax.block_until_ready(pipe.state.log)
+        dt = time.perf_counter() - t0
+        out[name + "_step_ms"] = round(1e3 * dt / len(clouds[8:]), 2)
+    out["overhead_pct"] = round(
+        100.0 * (out["mesh1_step_ms"] / out["plain_step_ms"] - 1.0), 1)
+    out["backend"] = jax.devices()[0].platform
+    print(json.dumps(out))
+
+
 KITTI00_GT = "/root/reference/kitti_ground_truth_tum/00.txt"
 
 
@@ -248,7 +356,8 @@ def _run_phase(name: str) -> dict:
 
 
 def main():
-    if len(sys.argv) > 1 and sys.argv[1] in ("phase1", "phase2", "phase3"):
+    if len(sys.argv) > 1 and sys.argv[1] in (
+            "phase1", "phase2", "phase3", "phase4", "phase5"):
         from xchu_slam_tpu.utils import compile_cache
         compile_cache.enable()
         globals()[sys.argv[1]]()
@@ -261,6 +370,12 @@ def main():
         "backend": r1["backend"],
         "full_pipeline": r2,
     }
+    for name, key in (("phase4", "mesh_scaling_cpu"),
+                      ("phase5", "mesh1_overhead")):
+        try:
+            extra[key] = _run_phase(name)
+        except Exception as e:  # pragma: no cover
+            extra[key] = {"error": str(e)[:200]}
     if os.path.exists(KITTI00_GT):
         try:
             extra["kitti00_sim"] = _run_phase("phase3")

@@ -99,11 +99,12 @@ def cmd_run_sim(args):
         # never resident at once)
         scans = sim.RenderedScans(world, gt, seed=args.seed,
                                   n_points=24_000, index=index)
+        mesh = _make_cli_mesh(args.mesh)
         with timers.time("compile"):
             _warm_device_engine(cfg, scans, log_capacity=max(n_scans, 8192),
-                                chunk=args.chunk)
+                                chunk=args.chunk, mesh=mesh)
         pipe = DeviceSlamPipeline(cfg, kf_points=4096,
-                                  log_capacity=max(n_scans, 8192))
+                                  log_capacity=max(n_scans, 8192), mesh=mesh)
         t0 = time.perf_counter()
         pf = DeviceChunkPrefetcher(scans, capacity=cfg.filter.max_raw_points,
                                    chunk=args.chunk, depth=2, threads=2)
@@ -194,8 +195,27 @@ def cmd_run_sim(args):
               file=sys.stderr)
 
 
+def _make_cli_mesh(n: int):
+    """Build a 1-axis device mesh over the first `n` devices for the SPMD
+    engine (`--mesh N`). N=0/1 → single-device engine. Requires `n` visible
+    devices: real chips on a pod slice, or a virtual CPU mesh via
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N."""
+    if not n or n <= 1:
+        return None
+    import jax
+
+    from xchu_slam_tpu.parallel import sharded
+    if len(jax.devices()) < n:
+        raise SystemExit(
+            f"--mesh {n}: only {len(jax.devices())} devices visible "
+            f"(use a pod slice or JAX_PLATFORMS=cpu "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n})")
+    return sharded.make_mesh(n)
+
+
 def _warm_device_engine(cfg, scans, kf_points: int = 4096,
-                        log_capacity: int = 8192, chunk: int = 16):
+                        log_capacity: int = 8192, chunk: int = 16,
+                        mesh=None):
     """Compile the COMPLETE device program set on a throwaway pipeline BEFORE
     any staging thread exists, with zero readbacks.
 
@@ -212,7 +232,7 @@ def _warm_device_engine(cfg, scans, kf_points: int = 4096,
     from xchu_slam_tpu.models.pipeline import _transform_all_clouds
 
     warm = DeviceSlamPipeline(cfg, kf_points=kf_points,
-                              log_capacity=log_capacity)
+                              log_capacity=log_capacity, mesh=mesh)
     stager = ChunkStager(cfg.filter.max_raw_points, chunk, n_buffers=1)
     ch, wn = stager.stage([scans[i] for i in range(min(chunk, len(scans)))])
     warm.process_chunk(ch, 0.1 * np.arange(chunk, dtype=np.float32), wn)
@@ -252,8 +272,10 @@ def cmd_run_kitti(args):
 
         scans = LazyScans(files, _read)
         log_cap = max(len(files), 8192)
-        _warm_device_engine(cfg, scans, log_capacity=log_cap)
-        pipe = DeviceSlamPipeline(cfg, kf_points=4096, log_capacity=log_cap)
+        mesh = _make_cli_mesh(getattr(args, "mesh", 0))
+        _warm_device_engine(cfg, scans, log_capacity=log_cap, mesh=mesh)
+        pipe = DeviceSlamPipeline(cfg, kf_points=4096, log_capacity=log_cap,
+                                  mesh=mesh)
         pf = DeviceChunkPrefetcher(scans,
                                    capacity=cfg.filter.max_raw_points,
                                    chunk=16, depth=2, threads=2)
@@ -363,6 +385,9 @@ def main(argv=None):
     ps.add_argument("--loop-method", default="sc",
                     choices=["sc", "isc", "radius", "none"])
     ps.add_argument("--out", default="out/sim")
+    ps.add_argument("--mesh", type=int, default=0,
+                    help="run the SPMD engine over an N-device mesh "
+                    "(points/DB/factor-sharded compute; 0 = single device)")
     ps.add_argument("--engine", default="host", choices=["host", "device"],
                     help="host: host-orchestrated pipeline; device: fully "
                     "on-device chunked engine (highest throughput)")
@@ -376,6 +401,9 @@ def main(argv=None):
     pk.add_argument("--gt")
     pk.add_argument("--out", default="out/kitti")
     pk.add_argument("--max-scans", type=int, default=0)
+    pk.add_argument("--mesh", type=int, default=0,
+                    help="run the SPMD engine over an N-device mesh "
+                    "(points/DB/factor-sharded compute; 0 = single device)")
     pk.add_argument("--engine", default="host", choices=["host", "device"],
                     help="host: host-orchestrated pipeline; device: fully "
                     "on-device chunked engine (highest throughput)")

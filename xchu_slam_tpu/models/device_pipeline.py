@@ -64,10 +64,17 @@ class DevSpec(NamedTuple):
     use_gps: bool
     use_sc_yaw: bool = True
     log_capacity: int = 8192
+    # mesh axis name for SPMD execution (None = single device). With an axis,
+    # the step body runs inside a replicated-input `shard_map`: state storage
+    # is replicated, compute is sharded — NDT points, SC/ISC DB scoring, ICP
+    # correspondences, and pose-graph factors each shard over the mesh with
+    # deterministic all-gather-sum reductions (SURVEY.md §2d P1/P4/P5).
+    axis: str | None = None
 
 
 def spec_from_config(cfg: SlamConfig, kf_points: int = 4096,
-                     log_capacity: int = 8192) -> DevSpec:
+                     log_capacity: int = 8192,
+                     axis: str | None = None) -> DevSpec:
     return DevSpec(
         fcfg=cfg.filter,
         ospec=odometry.spec_from_config(cfg),
@@ -89,6 +96,7 @@ def spec_from_config(cfg: SlamConfig, kf_points: int = 4096,
         use_gps=cfg.pgo.use_gps,
         use_sc_yaw=cfg.loop.use_sc_yaw,
         log_capacity=log_capacity,
+        axis=axis,
     )
 
 
@@ -129,11 +137,13 @@ def _detect_candidate(state: DevState, k, stamp, spec: DevSpec):
     heading ψ_cand − ψ_query (0 for methods without a rotation estimate)."""
     db = state.db
     if spec.method == "sc":
-        res = sc.detect_loop(db.sc_db[k], db.sc_db, db.count, spec.scspec)
+        res = sc.detect_loop(db.sc_db[k], db.sc_db, db.count, spec.scspec,
+                             axis=spec.axis)
         return res.idx, res.found, res.yaw
     if spec.method == "isc":
         res = isc_ops.detect_loop(db.isc_db[k], db.isc_db, db.count,
-                                  db.poses[:, :3], db.travel, spec.iscspec)
+                                  db.poses[:, :3], db.travel, spec.iscspec,
+                                  axis=spec.axis)
         return res.idx, res.found, res.yaw
     if spec.method == "radius":
         idx, found = _sc_radius_candidate(state, k, stamp, spec)
@@ -163,7 +173,7 @@ def _verify_and_apply(state: DevState, k, cand, yaw, spec: DevSpec) -> DevState:
             p_init = se3.matrix_to_pose(T_init)
             T_init = se3.pose_to_matrix(p_init.at[5].set(-yaw))
         res = icp.align(db.clouds[k], db.cloud_mask[k], tgt_xyz, tgt_mask,
-                        T_init, spec.icpspec)
+                        T_init, spec.icpspec, axis=spec.axis)
         corr = jnp.linalg.norm(res.T[:3, 3] - T_init[:3, 3])
         ok = ((res.fitness <= spec.icp_fitness_thresh)
               & (corr <= spec.max_correction)
@@ -181,7 +191,8 @@ def _verify_and_apply(state: DevState, k, cand, yaw, spec: DevSpec) -> DevState:
                     1.0 / jnp.maximum(res.fitness, 1e-2)),
                 loop_mask=state.graph.loop_mask.at[q].set(True),
             )
-            opt = pg.solve(state.db.opt_poses, graph, spec.gspec)
+            opt = pg.solve(state.db.opt_poses, graph, spec.gspec,
+                           axis=spec.axis)
             return state._replace(
                 graph=graph,
                 db=state.db._replace(opt_poses=opt),
@@ -287,7 +298,8 @@ def _device_step_body(state: DevState, cloud: Cloud, stamp, gps_alt,
     state = state._replace(diag=jnp.asarray(_DIAG_RESET))
     filt = filter_scan(cloud, spec.fcfg)
     prev_pose = state.odom.pose
-    new_odom, out = odometry.step(state.odom, filt.xyz, filt.mask, spec.ospec)
+    new_odom, out = odometry.step(state.odom, filt.xyz, filt.mask, spec.ospec,
+                                  axis=spec.axis)
     pose = out.pose
     step_d = jnp.linalg.norm(pose[:2] - prev_pose[:2])
     state = state._replace(
@@ -329,7 +341,61 @@ def device_chunk_step(state: DevState, clouds: Cloud, stamps, gps_alts,
     (io/prefetch.DeviceChunkPrefetcher) — one h2d transfer + one dispatch per
     chunk. `scan_valids` masks empty trailing slots of a short final chunk
     (those scans are skipped entirely)."""
+    return _chunk_body(state, clouds, stamps, gps_alts, gps_valids,
+                       scan_valids, spec)
 
+
+def raw_state(spec: DevSpec, cloud0: Cloud, cfg: SlamConfig) -> DevState:
+    """Fresh engine state with odometry seeded from the first scan, before
+    keyframe 0 is stored (no collectives — safe to build outside a mesh)."""
+    filt = filter_scan(cloud0, spec.fcfg)
+    odom0 = odometry.init_state(spec.ospec, jnp.zeros(6, jnp.float32),
+                                filt.xyz, filt.mask)
+    db = empty_db(cfg, spec.kf_points)
+    graph = pg.empty_graph(spec.gspec)
+    return DevState(
+        odom=odom0,
+        db=db,
+        graph=graph,
+        kf_accum=jnp.float32(0.0),
+        travel=jnp.float32(0.0),
+        last_kf_odom=jnp.zeros(6, jnp.float32),
+        loop_count=jnp.int32(0),
+        scan_count=jnp.int32(0),
+        log=jnp.zeros((spec.log_capacity, 16), jnp.float32),
+        diag=jnp.asarray(_DIAG_RESET),
+    )
+
+
+def init_state(spec: DevSpec, cloud0: Cloud, stamp0, cfg: SlamConfig) -> DevState:
+    """Seed odometry with the first scan and store keyframe 0 (the host
+    pipeline's first-scan path)."""
+    state = raw_state(spec, cloud0, cfg)
+    return _seed_first_kf(state, cloud0, jnp.float32(stamp0), spec)
+
+
+def _seed_body(state: DevState, cloud0: Cloud, stamp0,
+               spec: DevSpec) -> DevState:
+    filt = filter_scan(cloud0, spec.fcfg)
+    pose0 = jnp.zeros(6, jnp.float32)
+    state = _add_keyframe_branch(state, filt, pose0, stamp0,
+                                 jnp.float32(0.0), jnp.bool_(False), spec)
+    row = jnp.concatenate(
+        [pose0, jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32),
+         jnp.asarray(stamp0, jnp.float32)[None], jnp.asarray(_DIAG_RESET)])
+    return state._replace(log=state.log.at[0].set(row),
+                          scan_count=jnp.int32(1))
+
+
+@functools.partial(jax.jit, static_argnames=("spec",),
+                   donate_argnames=("state",))
+def _seed_first_kf(state: DevState, cloud0: Cloud, stamp0,
+                   spec: DevSpec) -> DevState:
+    return _seed_body(state, cloud0, stamp0, spec)
+
+
+def _chunk_body(state: DevState, clouds: Cloud, stamps, gps_alts,
+                gps_valids, scan_valids, spec: DevSpec) -> DevState:
     def body(st, xs):
         cloud, stamp, alt, gv, valid = xs
         st = jax.lax.cond(
@@ -343,43 +409,43 @@ def device_chunk_step(state: DevState, clouds: Cloud, stamps, gps_alts,
     return state
 
 
-def init_state(spec: DevSpec, cloud0: Cloud, stamp0, cfg: SlamConfig) -> DevState:
-    """Seed odometry with the first scan and store keyframe 0 (the host
-    pipeline's first-scan path)."""
-    filt = filter_scan(cloud0, spec.fcfg)
-    odom0 = odometry.init_state(spec.ospec, jnp.zeros(6, jnp.float32),
-                                filt.xyz, filt.mask)
-    db = empty_db(cfg, spec.kf_points)
-    graph = pg.empty_graph(spec.gspec)
-    state = DevState(
-        odom=odom0,
-        db=db,
-        graph=graph,
-        kf_accum=jnp.float32(0.0),
-        travel=jnp.float32(0.0),
-        last_kf_odom=jnp.zeros(6, jnp.float32),
-        loop_count=jnp.int32(0),
-        scan_count=jnp.int32(0),
-        log=jnp.zeros((spec.log_capacity, 16), jnp.float32),
-        diag=jnp.asarray(_DIAG_RESET),
-    )
-    state = _seed_first_kf(state, cloud0, jnp.float32(stamp0), spec)
-    return state
+def make_mesh_fns(mesh, spec: DevSpec):
+    """jit-compiled SPMD step/chunk/seed functions: the SAME `_device_step_body`
+    the single-device engine runs, wrapped in a replicated-input `shard_map`
+    over `mesh`. State and scans arrive replicated (in_specs P()); the ops
+    shard their own compute internally via `spec.axis` (NDT points, SC/ISC DB
+    slices, ICP correspondences, pose-graph factors) and reduce with
+    deterministic all-gather-sums. This is the runnable multi-chip engine —
+    `__graft_entry__.dryrun_multichip` compiles and runs this exact path.
 
+    TPU-native replacement for the reference's whole concurrency fabric
+    (pgo threads `pgo_node.cpp:12-14` + OMP reduction `ndt_omp_impl.hpp:
+    187-280`): one SPMD program, collectives over ICI instead of shared
+    memory."""
+    from jax.sharding import PartitionSpec as P
 
-@functools.partial(jax.jit, static_argnames=("spec",),
-                   donate_argnames=("state",))
-def _seed_first_kf(state: DevState, cloud0: Cloud, stamp0,
-                   spec: DevSpec) -> DevState:
-    filt = filter_scan(cloud0, spec.fcfg)
-    pose0 = jnp.zeros(6, jnp.float32)
-    state = _add_keyframe_branch(state, filt, pose0, stamp0,
-                                 jnp.float32(0.0), jnp.bool_(False), spec)
-    row = jnp.concatenate(
-        [pose0, jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32),
-         jnp.asarray(stamp0, jnp.float32)[None], jnp.asarray(_DIAG_RESET)])
-    return state._replace(log=state.log.at[0].set(row),
-                          scan_count=jnp.int32(1))
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax trees
+        from jax.experimental.shard_map import shard_map
+
+    assert spec.axis == mesh.axis_names[0]
+    rep = P()
+
+    step = jax.jit(shard_map(
+        functools.partial(_device_step_body, spec=spec), mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep), out_specs=rep, check_vma=False),
+        donate_argnums=0)
+    chunk = jax.jit(shard_map(
+        functools.partial(_chunk_body, spec=spec), mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep), out_specs=rep,
+        check_vma=False),
+        donate_argnums=0)
+    seed = jax.jit(shard_map(
+        functools.partial(_seed_body, spec=spec), mesh=mesh,
+        in_specs=(rep, rep, rep), out_specs=rep, check_vma=False),
+        donate_argnums=0)
+    return step, chunk, seed
 
 
 class DeviceSlamPipeline:
@@ -390,9 +456,32 @@ class DeviceSlamPipeline:
     .odom_log/.loops` surface that `io/export.save_run` consumes."""
 
     def __init__(self, cfg: SlamConfig, kf_points: int = 4096,
-                 log_capacity: int = 8192, sync_every: int = 4):
+                 log_capacity: int = 8192, sync_every: int = 4,
+                 mesh=None):
+        """With `mesh` (a 1-axis `jax.sharding.Mesh`), the engine runs as ONE
+        SPMD program over the mesh: state replicated, hot-op compute sharded
+        (see `make_mesh_fns`). Capacities must divide the mesh size."""
         self.cfg = cfg
-        self.spec = spec_from_config(cfg, kf_points, log_capacity)
+        self.mesh = mesh
+        axis = mesh.axis_names[0] if mesh is not None else None
+        self.spec = spec_from_config(cfg, kf_points, log_capacity, axis=axis)
+        if mesh is not None:
+            D = mesh.devices.size
+            for name, val in (("filter.max_points", cfg.filter.max_points),
+                              ("kf_points", kf_points),
+                              ("pgo.max_keyframes", cfg.pgo.max_keyframes),
+                              ("pgo.max_loops", cfg.pgo.max_loops)):
+                if val % D != 0:
+                    raise ValueError(
+                        f"{name} ({val}) must be divisible by the mesh size "
+                        f"({D}) for sharded compute")
+            self._mesh_step, self._mesh_chunk, self._mesh_seed = \
+                make_mesh_fns(mesh, self.spec)
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._replicate = functools.partial(
+                jax.device_put, device=NamedSharding(mesh, PartitionSpec()))
+        else:
+            self._replicate = lambda x: x
         # drain the device queue every N chunks: a shallow async backlog
         # keeps the relay's first-readback stall at ~10 s instead of
         # 8-20 MINUTES after thousands of undrained dispatches (measured;
@@ -436,15 +525,25 @@ class DeviceSlamPipeline:
             cloud = make_cloud(cloud, intensity,
                                capacity=self.cfg.filter.max_raw_points)
         if self.state is None:
-            self.state = init_state(self.spec, cloud, stamp, self.cfg)
+            self.state = self._init_state(cloud, stamp)
             self._scans_fed = 1
             return
         self._reserve_log(1)
-        self.state = device_step(
-            self.state, cloud, jnp.float32(stamp),
-            jnp.float32(gps_alt if gps_alt is not None else 0.0),
-            jnp.bool_(gps_alt is not None), self.spec)
+        args = (self._replicate(cloud), jnp.float32(stamp),
+                jnp.float32(gps_alt if gps_alt is not None else 0.0),
+                jnp.bool_(gps_alt is not None))
+        if self.mesh is not None:
+            self.state = self._mesh_step(self.state, *args)
+        else:
+            self.state = device_step(self.state, *args, self.spec)
         self._scans_fed += 1
+
+    def _init_state(self, cloud: Cloud, stamp: float) -> DevState:
+        if self.mesh is None:
+            return init_state(self.spec, cloud, stamp, self.cfg)
+        state = self._replicate(raw_state(self.spec, cloud, self.cfg))
+        return self._mesh_seed(state, self._replicate(cloud),
+                               jnp.float32(stamp))
 
     def process_chunk(self, clouds: Cloud, stamps, n_real: int,
                       gps_alts=None) -> None:
@@ -467,15 +566,17 @@ class DeviceSlamPipeline:
         valid = np.arange(chunk) < n_real
         if self.state is None:
             first = jax.tree.map(lambda a: a[0], clouds)
-            self.state = init_state(self.spec, first, float(stamps[0]),
-                                    self.cfg)
+            self.state = self._init_state(first, float(stamps[0]))
             valid = valid.copy()
             valid[0] = False
         else:
             self._reserve_log(int(n_real))
-        self.state = device_chunk_step(
-            self.state, clouds, jnp.asarray(stamps), jnp.asarray(alts),
-            jnp.asarray(gvalid), jnp.asarray(valid), self.spec)
+        args = (self._replicate(clouds), jnp.asarray(stamps),
+                jnp.asarray(alts), jnp.asarray(gvalid), jnp.asarray(valid))
+        if self.mesh is not None:
+            self.state = self._mesh_chunk(self.state, *args)
+        else:
+            self.state = device_chunk_step(self.state, *args, self.spec)
         self._scans_fed += int(n_real)
         self._chunks_fed += 1
         if self.sync_every and self._chunks_fed % self.sync_every == 0:

@@ -128,14 +128,21 @@ def _guess(state: OdomState, ext_delta, use_ext) -> jnp.ndarray:
     return g
 
 
-@functools.partial(jax.jit, static_argnames=("spec",), donate_argnames=("state",))
+@functools.partial(jax.jit, static_argnames=("spec", "axis"),
+                   donate_argnames=("state",))
 def step(state: OdomState, xyz, mask, spec: OdomSpec,
-         ext_delta=None, use_ext=False):
-    """One odometry scan step. Returns (new_state, OdomOutput)."""
+         ext_delta=None, use_ext=False, axis: str | None = None):
+    """One odometry scan step. Returns (new_state, OdomOutput).
+
+    With `axis` set (inside a replicated-input `shard_map`), the NDT hot loop
+    shards the scan's points over the mesh (ops/ndt.align); the cheap map
+    maintenance (insert/swap/recentre scatter-adds) runs replicated so the
+    localmap grids stay identical on every device with zero communication."""
     if ext_delta is None:
         ext_delta = jnp.zeros(6, jnp.float32)
     guess = _guess(state, ext_delta, jnp.asarray(use_ext))
-    res = ndt.align(state.grid_a, xyz, mask, guess, spec.gspec, spec.nspec)
+    res = ndt.align(state.grid_a, xyz, mask, guess, spec.gspec, spec.nspec,
+                    axis=axis)
     pose = res.pose
     diff = pose - state.pose
     diff = diff.at[3:].set(se3.wrap_angle(diff[3:]))

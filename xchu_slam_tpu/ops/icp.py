@@ -83,22 +83,40 @@ def _nearest(src, src_mask, tgt, tgt_mask, chunk):
     return nn.reshape(n, 3), d2.reshape(n)
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def align(src, src_mask, tgt, tgt_mask, init_T, spec: IcpSpec) -> IcpResult:
-    """ICP aligning `src` onto `tgt`; init_T is a [4,4] initial guess."""
+@functools.partial(jax.jit, static_argnames=("spec", "axis"))
+def align(src, src_mask, tgt, tgt_mask, init_T, spec: IcpSpec,
+          axis: str | None = None) -> IcpResult:
+    """ICP aligning `src` onto `tgt`; init_T is a [4,4] initial guess.
+
+    With `axis` set (inside a replicated-input `shard_map`), the SOURCE
+    points shard over the mesh: each device finds nearest neighbors for its
+    shard against the full (replicated) target and the Procrustes moment
+    sums combine with deterministic all-gather-sums, so every device runs an
+    identical iteration loop — the OMP-parallel correspondence loops of the
+    reference's verification ICP (`gicp_omp_impl.hpp:76,262`; SURVEY §2d P1)
+    as ICI collectives."""
+    from xchu_slam_tpu.ops import ndt as _ndt
     max_d2 = spec.max_corr_dist ** 2
+    if axis is not None:
+        src_l, mask_l = _ndt._local_shard((src, src_mask), axis)
+        reduce_ = lambda x: _ndt.shard_allsum(x, axis)
+    else:
+        src_l, mask_l = src, src_mask
+        reduce_ = lambda x: x
 
     def body(state):
         T, it, _conv, prev_err = state
-        cur = se3.transform_points(T, src)
-        nn, d2 = _nearest(cur, src_mask, tgt, tgt_mask, spec.chunk)
-        w = (src_mask & (d2 < max_d2)).astype(jnp.float32)
-        wsum = jnp.maximum(jnp.sum(w), 1.0)
-        mu_s = jnp.sum(cur * w[:, None], 0) / wsum
-        mu_t = jnp.sum(nn * w[:, None], 0) / wsum
+        cur = se3.transform_points(T, src_l)
+        nn, d2 = _nearest(cur, mask_l, tgt, tgt_mask, spec.chunk)
+        w = (mask_l & (d2 < max_d2)).astype(jnp.float32)
+        wsum, s_s, s_t = reduce_((jnp.sum(w), jnp.sum(cur * w[:, None], 0),
+                                  jnp.sum(nn * w[:, None], 0)))
+        wsum = jnp.maximum(wsum, 1.0)
+        mu_s = s_s / wsum
+        mu_t = s_t / wsum
         xs = (cur - mu_s) * w[:, None]
         xt = nn - mu_t
-        M = jnp.matmul(xt.T, xs, precision=_PREC) / wsum  # 3×3 cross-covariance
+        M = reduce_(jnp.matmul(xt.T, xs, precision=_PREC)) / wsum  # 3×3 cross-cov
         U, _s, Vt = jnp.linalg.svd(M)
         det = jnp.linalg.det(jnp.matmul(U, Vt, precision=_PREC))
         S = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * 1.0).at[2, 2].set(det)
@@ -108,7 +126,7 @@ def align(src, src_mask, tgt, tgt_mask, init_T, spec: IcpSpec) -> IcpResult:
             [jnp.concatenate([R, t[:, None]], 1),
              jnp.array([[0.0, 0.0, 0.0, 1.0]], R.dtype)], 0)
         T_new = se3.compose(dT, T)
-        err = jnp.sum(d2 * w) / wsum
+        err = reduce_(jnp.sum(d2 * w)) / wsum
         conv = jnp.abs(prev_err - err) < spec.trans_eps
         return T_new, it + 1, conv, err
 
@@ -122,8 +140,9 @@ def align(src, src_mask, tgt, tgt_mask, init_T, spec: IcpSpec) -> IcpResult:
          jnp.float32(jnp.inf)),
     )
     # final fitness at the converged transform
-    cur = se3.transform_points(T, src)
-    _nn, d2 = _nearest(cur, src_mask, tgt, tgt_mask, spec.chunk)
-    w = (src_mask & (d2 < max_d2)).astype(jnp.float32)
-    fitness = jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0)
+    cur = se3.transform_points(T, src_l)
+    _nn, d2 = _nearest(cur, mask_l, tgt, tgt_mask, spec.chunk)
+    w = (mask_l & (d2 < max_d2)).astype(jnp.float32)
+    num, den = reduce_((jnp.sum(d2 * w), jnp.sum(w)))
+    fitness = num / jnp.maximum(den, 1.0)
     return IcpResult(T=T, fitness=fitness, iterations=iters, converged=conv)

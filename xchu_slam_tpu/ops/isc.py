@@ -137,35 +137,64 @@ class IscLoop(NamedTuple):
     found: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def detect_loop(query, db, db_count, positions, travel, spec: IscSpec) -> IscLoop:
+@functools.partial(jax.jit, static_argnames=("spec", "axis"))
+def detect_loop(query, db, db_count, positions, travel, spec: IscSpec,
+                axis: str | None = None) -> IscLoop:
     """Best gated two-stage ISC loop (reference detectLoopClosureID, :157-193).
 
     positions: [K_max, 3] keyframe positions; travel: [K_max] cumulative travel
-    distance; entry `db_count-1` is the current frame."""
+    distance; entry `db_count-1` is the current frame.
+
+    With `axis` set (inside a replicated-input `shard_map`), each device
+    scores a K/D slice of the database (geometry + intensity stages shard by
+    K) and the global best comes from an all-gather of per-device maxima."""
     K = db.shape[0]
-    idxs = jnp.arange(K)
     cur = db_count - 1
     cur_pos = positions[cur]
     cur_travel = travel[cur]
-    d_travel = cur_travel - travel
-    pos_dist = jnp.linalg.norm(positions - cur_pos[None], axis=-1)
+
+    if axis is not None:
+        D = jax.lax.axis_size(axis)
+        if K % D != 0:
+            raise ValueError(f"DB capacity {K} not divisible by mesh size {D}")
+        shard = K // D
+        base = jax.lax.axis_index(axis) * shard
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, base, shard)
+        db_l, pos_l, travel_l = sl(db), sl(positions), sl(travel)
+        idxs = base + jnp.arange(shard)
+    else:
+        base = 0
+        db_l, pos_l, travel_l = db, positions, travel
+        idxs = jnp.arange(K)
+
+    d_travel = cur_travel - travel_l
+    pos_dist = jnp.linalg.norm(pos_l - cur_pos[None], axis=-1)
     gate = (
         (idxs < cur)
         & (d_travel > spec.skip_neighbor_distance)
         & (pos_dist < d_travel * spec.inflation_covariance)
     )
-    geo, shift = geometry_scores(query, db, spec)
-    inten = intensity_scores(query, db, shift, spec)
+    geo, shift = geometry_scores(query, db_l, spec)
+    inten = intensity_scores(query, db_l, shift, spec)
     ok = gate & (geo > spec.geometry_thresh) & (inten > spec.intensity_thresh)
     total = jnp.where(ok, geo + inten, -jnp.inf)
-    best = jnp.argmax(total)
-    found = jnp.isfinite(total[best])
-    yaw = shift[best].astype(jnp.float32) * (2.0 * jnp.pi / spec.num_sector)
+    li = jnp.argmax(total)
+    if axis is not None:
+        local = jnp.stack([total[li], (base + li).astype(jnp.float32),
+                           shift[li].astype(jnp.float32)])
+        allv = jax.lax.all_gather(local, axis)            # [D, 3]
+        row = allv[jnp.argmax(allv[:, 0])]
+        best_total, best, best_shift = row[0], row[1].astype(jnp.int32), row[2]
+    else:
+        best = li
+        best_total = total[li]
+        best_shift = shift[li].astype(jnp.float32)
+    found = jnp.isfinite(best_total)
+    yaw = best_shift * (2.0 * jnp.pi / spec.num_sector)
     yaw = jnp.arctan2(jnp.sin(yaw), jnp.cos(yaw))
     return IscLoop(
         idx=jnp.where(found, best, -1).astype(jnp.int32),
-        score=jnp.where(found, total[best], 0.0).astype(jnp.float32),
+        score=jnp.where(found, best_total, 0.0).astype(jnp.float32),
         yaw=yaw,
         found=found,
     )

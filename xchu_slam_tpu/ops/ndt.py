@@ -111,18 +111,21 @@ def ndt_loss(pose, src_xyz, src_mask, grid, gspec: vm.GridSpec,
     return local
 
 
-def _fitness(pose, src_xyz, src_mask, grid, gspec):
+def _fitness(pose, src_xyz, src_mask, grid, gspec, reduce_=lambda x: x):
     """Diagnostics: matched fraction + mean squared distance to the nearest
-    DIRECT7 voxel mean (analogue of `getFitnessScore`)."""
+    DIRECT7 voxel mean (analogue of `getFitnessScore`). `reduce_` combines
+    per-shard partial sums when points are sharded over a mesh."""
     pts = se3.rotate_translate(pose, src_xyz)
     mean_w, _, vvalid = vm.lookup7(grid, gspec, pts)
     d2_ = jnp.sum((pts[:, None, :] - mean_w) ** 2, -1)
     d2_ = jnp.where(vvalid, d2_, jnp.inf)
     dmin = jnp.min(d2_, axis=1)
     matched = src_mask & jnp.isfinite(dmin)
-    n = jnp.maximum(jnp.sum(matched), 1)
-    fitness = jnp.sum(jnp.where(matched, dmin, 0.0)) / n
-    frac = jnp.sum(matched) / jnp.maximum(jnp.sum(src_mask), 1)
+    n_match, sum_d, n_mask = reduce_((
+        jnp.sum(matched), jnp.sum(jnp.where(matched, dmin, 0.0)),
+        jnp.sum(src_mask)))
+    fitness = sum_d / jnp.maximum(n_match, 1)
+    frac = n_match / jnp.maximum(n_mask, 1)
     return frac, fitness
 
 
@@ -303,34 +306,79 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
     return pose, iters, converged
 
 
-@functools.partial(jax.jit, static_argnames=("gspec", "nspec"))
+def shard_allsum(x, axis: str):
+    """Deterministic cross-device sum: all-gather the per-device partials and
+    sum them in a fixed order, so every rank computes bit-identical totals
+    (a plain `psum` may reduce in per-rank order; any skew in values that
+    feed `while_loop`/`cond` predicates would diverge trip counts across
+    ranks and deadlock the collectives inside the loop bodies)."""
+    return jax.tree.map(
+        lambda a: jnp.sum(jax.lax.all_gather(a, axis), 0), x)
+
+
+def _local_shard(arrs, axis: str):
+    """Slice each array's leading axis to this device's equal shard.
+
+    Used inside `shard_map` bodies whose inputs arrive REPLICATED (in_specs
+    P()): storage is replicated, compute is sharded — each device processes
+    rows [me·N/D, (me+1)·N/D) and partial results are combined with
+    `shard_allsum`. The TPU analogue of the reference's OMP parallel-for with
+    per-thread partial sums (`ndt_omp_impl.hpp:187-280`, SURVEY.md §2d P1)."""
+    D = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    out = []
+    for a in arrs:
+        n = a.shape[0]
+        if n % D != 0:
+            raise ValueError(
+                f"leading axis {n} not divisible by mesh size {D}")
+        out.append(jax.lax.dynamic_slice_in_dim(a, me * (n // D), n // D))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("gspec", "nspec", "axis"))
 def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
-          nspec: NdtSpec) -> AlignResult:
-    """Single-device NDT alignment (see `newton_align`)."""
+          nspec: NdtSpec, axis: str | None = None) -> AlignResult:
+    """NDT alignment (see `newton_align`).
+
+    With `axis` set (inside a `shard_map` whose inputs are replicated), the
+    source POINTS are sharded over the mesh: each device evaluates score/∇/H
+    on its shard and the 6-vector/6×6 partials are combined with a
+    deterministic all-gather-sum — SURVEY.md §2d P1/P5 as ICI collectives.
+    The Newton/line-search control flow runs identically on every device."""
     d1, d2 = gauss_constants(nspec.outlier_ratio, nspec.resolution)
+    if axis is not None:
+        xyz_l, mask_l = _local_shard((src_xyz, src_mask), axis)
+        reduce_ = lambda x: shard_allsum(x, axis)
+    else:
+        xyz_l, mask_l = src_xyz, src_mask
+        reduce_ = lambda x: x
 
     def loss(p):
-        return ndt_loss(p, src_xyz, src_mask, grid, gspec, d1, d2)
+        return ndt_loss(p, xyz_l, mask_l, grid, gspec, d1, d2,
+                        psum_axis=axis)
 
     if nspec.closed_form:
         def prepare(p):
-            return ndt_deriv.neighborhood(p, src_xyz, grid, gspec)
+            return ndt_deriv.neighborhood(p, xyz_l, grid, gspec)
 
         def vgh(p, nb):
-            return ndt_deriv.ndt_value_grad_hess(
-                p, src_xyz, src_mask, grid, gspec, d1, d2, nb=nb)
+            L, g, H = ndt_deriv.ndt_value_grad_hess(
+                p, xyz_l, mask_l, grid, gspec, d1, d2, nb=nb)
+            return reduce_((L, g, H))
 
         def vg(p, nb):
             L, g, _ = ndt_deriv.ndt_value_grad_hess(
-                p, src_xyz, src_mask, grid, gspec, d1, d2, want_hess=False,
+                p, xyz_l, mask_l, grid, gspec, d1, d2, want_hess=False,
                 nb=nb)
+            L, g = reduce_((L, g))
             return L, g
 
         pose, iters, converged = newton_align(loss, init_pose, nspec,
                                               vgh=vgh, vg=vg, prepare=prepare)
     else:
         pose, iters, converged = newton_align(loss, init_pose, nspec)
-    score = ndt_loss(pose, src_xyz, src_mask, grid, gspec, d1, d2)
-    frac, fitness = _fitness(pose, src_xyz, src_mask, grid, gspec)
+    score = ndt_loss(pose, xyz_l, mask_l, grid, gspec, d1, d2, psum_axis=axis)
+    frac, fitness = _fitness(pose, xyz_l, mask_l, grid, gspec, reduce_)
     return AlignResult(pose=pose, iterations=iters, converged=converged,
                        score=score, matched_frac=frac, fitness=fitness)

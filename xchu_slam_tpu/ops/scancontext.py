@@ -168,20 +168,45 @@ def detect_loop_between_sessions(query, db, db_count, spec: ScSpec) -> LoopCandi
     )
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def detect_loop(query, db, db_count, spec: ScSpec) -> LoopCandidate:
+@functools.partial(jax.jit, static_argnames=("spec", "axis"))
+def detect_loop(query, db, db_count, spec: ScSpec,
+                axis: str | None = None) -> LoopCandidate:
     """Find the best loop candidate for `query` among db[:db_count -
     num_exclude_recent] (reference detectLoopClosureID, :331-422).
 
-    db: [K_max, R, S]; db_count: int32 live entries."""
+    db: [K_max, R, S]; db_count: int32 live entries.
+
+    With `axis` set (inside a replicated-input `shard_map`), each device
+    scores a K/D slice of the database (the [K,S,S] rotation-search einsum
+    shards by K) and the global best is picked from an all-gather of the
+    per-device minima — the distributed retrieval of SURVEY.md §5
+    ('descriptor DB partitioned per host, local top-k + all_gather')."""
     K = db.shape[0]
-    idxs = jnp.arange(K)
-    eligible = idxs < (db_count - spec.num_exclude_recent)
-    dist, shift = distance_all_rotations(query, db, eligible, spec)
-    best = jnp.argmin(dist)
-    best_dist = dist[best]
+    if axis is not None:
+        D = jax.lax.axis_size(axis)
+        if K % D != 0:
+            raise ValueError(f"DB capacity {K} not divisible by mesh size {D}")
+        shard = K // D
+        base = jax.lax.axis_index(axis) * shard
+        db_l = jax.lax.dynamic_slice_in_dim(db, base, shard)
+        idxs = base + jnp.arange(shard)
+        eligible = idxs < (db_count - spec.num_exclude_recent)
+        dist, shift = distance_all_rotations(query, db_l, eligible, spec)
+        li = jnp.argmin(dist)
+        local = jnp.stack([dist[li], (base + li).astype(jnp.float32),
+                           shift[li].astype(jnp.float32)])
+        allv = jax.lax.all_gather(local, axis)            # [D, 3]
+        row = allv[jnp.argmin(allv[:, 0])]
+        best_dist, best, best_shift = row[0], row[1].astype(jnp.int32), row[2]
+    else:
+        idxs = jnp.arange(K)
+        eligible = idxs < (db_count - spec.num_exclude_recent)
+        dist, shift = distance_all_rotations(query, db, eligible, spec)
+        best = jnp.argmin(dist)
+        best_dist = dist[best]
+        best_shift = shift[best].astype(jnp.float32)
     found = jnp.isfinite(best_dist) & (best_dist < spec.dist_thresh)
-    yaw = shift[best].astype(jnp.float32) * (2.0 * jnp.pi / spec.num_sector)
+    yaw = best_shift * (2.0 * jnp.pi / spec.num_sector)
     # wrap to (-pi, pi]
     yaw = jnp.arctan2(jnp.sin(yaw), jnp.cos(yaw))
     return LoopCandidate(

@@ -142,132 +142,20 @@ def sharded_sc_detect(mesh: Mesh, query, db, db_count, spec: sc.ScSpec):
 
 def _make_pgo_body(axis: str, spec, K: int, L: int, D: int):
     """Factory for the factor-sharded pose-graph solve body (shared by
-    `sharded_pgo_solve` and `slam_superstep`)."""
+    `sharded_pgo_solve` and `slam_superstep`). The numerical body is the
+    canonical `models.pose_graph.sharded_gn_solve` — the exact same code the
+    mesh-mode SLAM engine runs via `pg.solve(axis=…)`; here the factor shards
+    arrive physically sharded through `shard_map` in_specs instead of being
+    sliced from replicated arrays."""
     from xchu_slam_tpu.models import pose_graph as pg
-
-    def allred(x):
-        return jnp.sum(jax.lax.all_gather(x, axis), 0)
-
-    odom_sqrtw = jnp.sqrt(jnp.array([spec.odom_info_t] * 3 +
-                                    [spec.odom_info_r] * 3, jnp.float32))
 
     def body(poses6, between_l, pairmask_l, ebase,
              li_l, lj_l, lT_l, linfo_l, lmask_l,
              gpsa_l, gpsm_l, gbase):
-        Ts0 = se3.pose_to_matrix(poses6)
-        eb = ebase[0, 0]
-        gb = gbase[0, 0]
-        E = between_l.shape[0]
-        G = gpsa_l.shape[0]
-
-        def residuals(xi, Ts, robust_w):
-            mask0 = jnp.ones((K, 1), xi.dtype).at[0, 0].set(0.0)
-            T = jnp.matmul(Ts, se3.se3_exp(xi * mask0), precision=_PREC)
-            ke = jnp.clip(eb + jnp.arange(E), 1, K - 1)
-            r_o = jax.vmap(pg._between_residual)(T[ke - 1], T[ke], between_l)
-            r_o = r_o * jnp.where(pairmask_l[:, None], odom_sqrtw[None, :], 0.0)
-            r_l = jax.vmap(pg._between_residual)(T[li_l], T[lj_l], lT_l)
-            w_l = jnp.where(lmask_l, jnp.sqrt(jnp.maximum(linfo_l, 0.0)), 0.0)
-            r_l = r_l * (w_l * jnp.sqrt(robust_w))[:, None]
-            kg = jnp.clip(gb + jnp.arange(G), 0, K - 1)
-            r_g = (T[kg, 2, 3] - gpsa_l) * jnp.where(
-                gpsm_l, jnp.sqrt(jnp.float32(spec.gps_info_z)), 0.0)
-            return jnp.concatenate([r_o.reshape(-1), r_l.reshape(-1), r_g])
-
-        def gn_iter(Ts, _):
-            xi0 = jnp.zeros((K, 6), jnp.float32)
-            r_l0 = jax.vmap(pg._between_residual)(Ts[li_l], Ts[lj_l], lT_l)
-            w_l = jnp.where(lmask_l, jnp.sqrt(jnp.maximum(linfo_l, 0.0)), 0.0)
-            robust_w = pg._cauchy_weights(r_l0 * w_l[:, None], spec.cauchy_k)
-
-            resfn = lambda xi: residuals(xi, Ts, robust_w)
-            r0, vjp = jax.vjp(resfn, xi0)
-            grad = allred(vjp(r0)[0])
-
-            def hvp(v):
-                _, jv = jax.jvp(resfn, (xi0,), (v,))
-                return allred(vjp(jv)[0])
-
-            # block-Jacobi from local factors, reduced
-            def eblocks(r):
-                k = jnp.clip(eb + r, 1, K - 1)
-
-                def r_i(x):
-                    Ti = jnp.matmul(Ts[k - 1], se3.se3_exp(x), precision=_PREC)
-                    return pg._between_residual(Ti, Ts[k], between_l[r])
-
-                def r_j(x):
-                    Tj = jnp.matmul(Ts[k], se3.se3_exp(x), precision=_PREC)
-                    return pg._between_residual(Ts[k - 1], Tj, between_l[r])
-
-                return (jax.jacfwd(r_i)(jnp.zeros(6, jnp.float32)),
-                        jax.jacfwd(r_j)(jnp.zeros(6, jnp.float32)))
-
-            Ji, Jj = jax.vmap(eblocks)(jnp.arange(E))
-            Winfo = jnp.diag(odom_sqrtw ** 2)
-            wpair = pairmask_l.astype(jnp.float32)[:, None, None]
-            Hi = jnp.einsum("fab,bc,fcd->fad", Ji.transpose(0, 2, 1), Winfo, Ji,
-                            precision=_PREC) * wpair
-            Hj = jnp.einsum("fab,bc,fcd->fad", Jj.transpose(0, 2, 1), Winfo, Jj,
-                            precision=_PREC) * wpair
-            ke = jnp.clip(eb + jnp.arange(E), 1, K - 1)
-            blocks = jnp.zeros((K, 6, 6), jnp.float32)
-            blocks = blocks.at[ke - 1].add(Hi)
-            blocks = blocks.at[ke].add(Hj)
-
-            def lblocks(r):
-                def r_i(x):
-                    Ti = jnp.matmul(Ts[li_l[r]], se3.se3_exp(x), precision=_PREC)
-                    return pg._between_residual(Ti, Ts[lj_l[r]], lT_l[r])
-
-                def r_j(x):
-                    Tj = jnp.matmul(Ts[lj_l[r]], se3.se3_exp(x), precision=_PREC)
-                    return pg._between_residual(Ts[li_l[r]], Tj, lT_l[r])
-
-                return (jax.jacfwd(r_i)(jnp.zeros(6, jnp.float32)),
-                        jax.jacfwd(r_j)(jnp.zeros(6, jnp.float32)))
-
-            Jli, Jlj = jax.vmap(lblocks)(jnp.arange(L // D))
-            wl = (jnp.where(lmask_l, linfo_l, 0.0) * robust_w)[:, None, None]
-            blocks = blocks.at[li_l].add(
-                jnp.einsum("fab,fcd->fad", Jli.transpose(0, 2, 1), Jli,
-                           precision=_PREC) * wl)
-            blocks = blocks.at[lj_l].add(
-                jnp.einsum("fab,fcd->fad", Jlj.transpose(0, 2, 1), Jlj,
-                           precision=_PREC) * wl)
-            blocks = allred(blocks)
-            blocks = blocks.at[0].set(jnp.eye(6))
-            blocks = blocks + 1e-6 * jnp.eye(6)[None]
-            chol = jnp.linalg.cholesky(blocks)
-
-            def precond(v):
-                return jax.scipy.linalg.cho_solve((chol, True), v[..., None])[..., 0]
-
-            b = -grad
-
-            def cg_body(st):
-                x, r, z, p, rz, it = st
-                Hp = hvp(p)
-                alpha = rz / jnp.maximum(jnp.vdot(p, Hp), 1e-20)
-                x = x + alpha * p
-                r = r - alpha * Hp
-                z = precond(r)
-                rz_new = jnp.vdot(r, z)
-                beta = rz_new / jnp.maximum(rz, 1e-20)
-                return x, r, z, z + beta * p, rz_new, it + 1
-
-            def cg_cond(st):
-                return (jnp.vdot(st[1], st[1]) > spec.cg_tol) &                     (st[5] < spec.cg_iterations)
-
-            z0 = precond(b)
-            x, *_ = jax.lax.while_loop(
-                cg_cond, cg_body,
-                (jnp.zeros_like(b), b, z0, z0, jnp.vdot(b, z0), jnp.int32(0)))
-            mask0 = jnp.ones((K, 1), jnp.float32).at[0, 0].set(0.0)
-            return jnp.matmul(Ts, se3.se3_exp(x * mask0), precision=_PREC), None
-
-        Ts, _ = jax.lax.scan(gn_iter, Ts0, None, length=spec.gn_iterations)
-        return se3.matrix_to_pose(Ts)
+        return pg.sharded_gn_solve(
+            poses6, between_l, pairmask_l, ebase[0, 0],
+            li_l, lj_l, lT_l, linfo_l, lmask_l,
+            gpsa_l, gpsm_l, gbase[0, 0], spec, axis)
 
     return body
 
