@@ -143,6 +143,7 @@ def _planted_state(spec, cfg, rng):
         kf_accum=jnp.float32(0.0), travel=jnp.float32(2.0 * K),
         last_kf_odom=jnp.asarray(poses[-1]),
         loop_count=jnp.int32(0), scan_count=jnp.int32(K),
+        imu_vel=jnp.zeros(3, jnp.float32),
         log=jnp.zeros((spec.log_capacity, 16), jnp.float32),
         diag=jnp.asarray(dp._DIAG_RESET),
     )

@@ -69,6 +69,10 @@ def cmd_run_sim(args):
         # density); ICP verification + the 2-D gate remain the authority
         "sc.dist_thresh": 0.35,
     })
+    if args.imu:
+        cfg = cfg.override({"odom.use_imu": True})
+    if args.wheel:
+        cfg = cfg.override({"odom.use_odom": True})
     cfg = _apply_overrides(cfg, args.set)
     timers = StageTimers()
 
@@ -88,6 +92,11 @@ def cmd_run_sim(args):
         index = None
     rng = np.random.default_rng(args.seed)
     n_scans = len(gt)
+    sensor_windows = None
+    if cfg.odom.use_imu or cfg.odom.use_odom:
+        # synthesize the reference's /kitti/oxts/imu + /odom_raw feeds along
+        # the trajectory (odom_node.cpp:425-476), with measurement noise
+        sensor_windows = _sim_sensor_windows(cfg, gt, gt_stamps, rng)
     os.makedirs(args.out, exist_ok=True)
     if args.engine == "device":
         # fully on-device engine, chunked ingest (the bench.py throughput path)
@@ -117,7 +126,8 @@ def cmd_run_sim(args):
                 if len(stamps) < nslot:  # short final chunk: pad stamps
                     stamps = np.pad(stamps, (0, nslot - len(stamps)),
                                     mode="edge")
-                pipe.process_chunk(clouds, stamps, n_real)
+                wins = _slice_windows(sensor_windows, base, nslot, n_scans)
+                pipe.process_chunk(clouds, stamps, n_real, wins=wins)
                 base += n_real
                 chunk_ts.append(time.perf_counter())
                 if args.checkpoint_every and (base // 16) % max(
@@ -136,7 +146,9 @@ def cmd_run_sim(args):
                 xyz, inten = sim.render_scan(world, p, rng, n_points=24_000,
                                              index=index)
             with timers.time("slam"):
-                pipe.process_scan(xyz, inten, stamp=float(gt_stamps[i]))
+                imu_w, wheel_w = _scan_windows(sensor_windows, i)
+                pipe.process_scan(xyz, inten, stamp=float(gt_stamps[i]),
+                                  imu=imu_w, wheel=wheel_w)
             if args.verbose and i % 25 == 0:
                 print(f"scan {i}: kf={pipe.kf_count} loops={pipe.loop_count}",
                       file=sys.stderr)
@@ -195,6 +207,66 @@ def cmd_run_sim(args):
               file=sys.stderr)
 
 
+def _sim_sensor_windows(cfg, gt, gt_stamps, rng):
+    """Per-scan IMU / wheel-odometry windows along the sim trajectory
+    (utils/sim.imu_windows / wheel_windows), with realistic noise."""
+    from xchu_slam_tpu.utils import sim
+
+    out = {}
+    M = cfg.odom.imu_samples
+    if cfg.odom.use_imu:
+        out["imu"] = sim.imu_windows(gt, gt_stamps, samples=M, rng=rng,
+                                     gyro_noise=0.002, accel_noise=0.05)
+    if cfg.odom.use_odom:
+        out["wheel"] = sim.wheel_windows(gt, gt_stamps, samples=M, rng=rng,
+                                         vel_noise=0.03, gyro_noise=0.002)
+    return out
+
+
+def _scan_windows(sensor_windows, i):
+    """(ImuWindow, OdomWindow) for scan i (None when the mode is off)."""
+    if not sensor_windows:
+        return None, None
+    import jax.numpy as jnp
+
+    from xchu_slam_tpu.ops.imu import ImuWindow, OdomWindow
+
+    imu_w = wheel_w = None
+    if "imu" in sensor_windows:
+        ws, wg, wa, wm = sensor_windows["imu"]
+        imu_w = ImuWindow(jnp.asarray(ws[i]), jnp.asarray(wg[i]),
+                          jnp.asarray(wa[i]), jnp.asarray(wm[i]))
+    if "wheel" in sensor_windows:
+        ws, wl, wn, wm = sensor_windows["wheel"]
+        wheel_w = OdomWindow(jnp.asarray(ws[i]), jnp.asarray(wl[i]),
+                             jnp.asarray(wn[i]), jnp.asarray(wm[i]))
+    return imu_w, wheel_w
+
+
+def _slice_windows(sensor_windows, base, nslot, n_scans):
+    """GuessWindows for chunk slots [base, base+nslot) (device engine path);
+    slots past the sequence end repeat the last real window (masked off by
+    scan_valids)."""
+    if not sensor_windows:
+        return None
+    import jax.numpy as jnp
+
+    from xchu_slam_tpu.models.device_pipeline import GuessWindows
+    from xchu_slam_tpu.ops.imu import ImuWindow, OdomWindow
+
+    idx = np.minimum(base + np.arange(nslot), n_scans - 1)
+    imu_w = wheel_w = None
+    if "imu" in sensor_windows:
+        ws, wg, wa, wm = sensor_windows["imu"]
+        imu_w = ImuWindow(jnp.asarray(ws[idx]), jnp.asarray(wg[idx]),
+                          jnp.asarray(wa[idx]), jnp.asarray(wm[idx]))
+    if "wheel" in sensor_windows:
+        ws, wl, wn, wm = sensor_windows["wheel"]
+        wheel_w = OdomWindow(jnp.asarray(ws[idx]), jnp.asarray(wl[idx]),
+                             jnp.asarray(wn[idx]), jnp.asarray(wm[idx]))
+    return GuessWindows(imu=imu_w, wheel=wheel_w)
+
+
 def _make_cli_mesh(n: int):
     """Build a 1-axis device mesh over the first `n` devices for the SPMD
     engine (`--mesh N`). N=0/1 → single-device engine. Requires `n` visible
@@ -235,7 +307,25 @@ def _warm_device_engine(cfg, scans, kf_points: int = 4096,
                               log_capacity=log_capacity, mesh=mesh)
     stager = ChunkStager(cfg.filter.max_raw_points, chunk, n_buffers=1)
     ch, wn = stager.stage([scans[i] for i in range(min(chunk, len(scans)))])
-    warm.process_chunk(ch, 0.1 * np.arange(chunk, dtype=np.float32), wn)
+    wins = None
+    if cfg.odom.use_imu or cfg.odom.use_odom:
+        # zero-filled windows with the run's shapes, so the wins-variant of
+        # the chunk program is what gets compiled here
+        import jax.numpy as jnp
+
+        from xchu_slam_tpu.models.device_pipeline import GuessWindows
+        from xchu_slam_tpu.ops.imu import ImuWindow, OdomWindow
+
+        M = cfg.odom.imu_samples
+        z = lambda *sh: jnp.zeros(sh, jnp.float32)
+        m = jnp.zeros((chunk, M), bool)
+        wins = GuessWindows(
+            imu=(ImuWindow(z(chunk, M), z(chunk, M, 3), z(chunk, M, 3), m)
+                 if cfg.odom.use_imu else None),
+            wheel=(OdomWindow(z(chunk, M), z(chunk, M, 3), z(chunk, M, 3), m)
+                   if cfg.odom.use_odom else None))
+    warm.process_chunk(ch, 0.1 * np.arange(chunk, dtype=np.float32), wn,
+                       wins=wins)
     jax.block_until_ready(warm.state.log)
     jax.block_until_ready(pg.solve(
         warm.state.db.opt_poses, warm.state.graph, warm.spec.gspec))
@@ -385,6 +475,12 @@ def main(argv=None):
     ps.add_argument("--loop-method", default="sc",
                     choices=["sc", "isc", "radius", "none"])
     ps.add_argument("--out", default="out/sim")
+    ps.add_argument("--imu", action="store_true",
+                    help="IMU-integrated NDT guess from simulated gyro/accel "
+                    "(reference use_imu mode)")
+    ps.add_argument("--wheel", action="store_true",
+                    help="wheel-odometry NDT guess from simulated twist "
+                    "(reference use_odom mode)")
     ps.add_argument("--mesh", type=int, default=0,
                     help="run the SPMD engine over an N-device mesh "
                     "(points/DB/factor-sharded compute; 0 = single device)")

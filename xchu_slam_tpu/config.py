@@ -79,6 +79,13 @@ class OdomConfig:
     max_localmap_size: float = 5.0    # reset localmap every 5 m of travel
     localmap_voxel_size: float = 0.5  # downsample before insertion
     method: str = "tpu"               # the reference's MethodType slot for us
+    # NDT initial-guess providers (reference launch modes `use_imu`/`use_odom`,
+    # odom_node.cpp:237-254,494-663): integrate per-scan IMU / wheel-odometry
+    # windows (ops/imu.py) into the guess instead of constant velocity. Both
+    # set = ImuOdomCalc (wheel translation + IMU rotation).
+    use_imu: bool = False
+    use_odom: bool = False
+    imu_samples: int = 16             # fixed per-scan sample-window capacity
 
 
 @dataclass(frozen=True)

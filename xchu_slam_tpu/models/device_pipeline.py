@@ -64,6 +64,11 @@ class DevSpec(NamedTuple):
     use_gps: bool
     use_sc_yaw: bool = True
     log_capacity: int = 8192
+    # IMU / wheel-odometry NDT guess (reference use_imu/use_odom launch
+    # modes, odom_node.cpp:237-254,494-663): per-scan sensor windows arrive
+    # as traced inputs and are integrated ON DEVICE into the guess delta
+    use_imu: bool = False
+    use_odom: bool = False
     # mesh axis name for SPMD execution (None = single device). With an axis,
     # the step body runs inside a replicated-input `shard_map`: state storage
     # is replicated, compute is sharded — NDT points, SC/ISC DB scoring, ICP
@@ -97,7 +102,20 @@ def spec_from_config(cfg: SlamConfig, kf_points: int = 4096,
         use_sc_yaw=cfg.loop.use_sc_yaw,
         log_capacity=log_capacity,
         axis=axis,
+        use_imu=cfg.odom.use_imu,
+        use_odom=cfg.odom.use_odom,
     )
+
+
+class GuessWindows(NamedTuple):
+    """Per-scan external-guess sensor windows fed to the device step.
+
+    `imu` is an ops.imu.ImuWindow, `wheel` an ops.imu.OdomWindow; either may
+    be None when the corresponding mode is off (None subtrees are valid jit
+    inputs). For the chunk path every leaf gains a leading [chunk] axis."""
+
+    imu: object
+    wheel: object
 
 
 class DevState(NamedTuple):
@@ -109,6 +127,8 @@ class DevState(NamedTuple):
     last_kf_odom: jnp.ndarray  # f32[6] — odometric pose at last keyframe
     loop_count: jnp.ndarray    # i32
     scan_count: jnp.ndarray    # i32
+    imu_vel: jnp.ndarray       # f32[3] — IMU velocity estimate (world frame,
+    #                            the reference's current_velocity_imu_*)
     log: jnp.ndarray           # f32[LOG,16]: pose6, iters, fitness, mfrac,
     #                            is_kf, stamp, + loop diagnostics: cand idx,
     #                            retrieval found, icp fitness, icp correction,
@@ -285,21 +305,55 @@ def _add_keyframe_branch(state: DevState, filt: Cloud, pose, stamp,
 @functools.partial(jax.jit, static_argnames=("spec",),
                    donate_argnames=("state",))
 def device_step(state: DevState, cloud: Cloud, stamp, gps_alt, gps_valid,
-                spec: DevSpec) -> DevState:
+                spec: DevSpec, win: GuessWindows | None = None) -> DevState:
     """One full SLAM iteration on device. Donates and returns the state."""
-    return _device_step_body(state, cloud, stamp, gps_alt, gps_valid, spec)
+    return _device_step_body(state, cloud, stamp, gps_alt, gps_valid, spec,
+                             win)
 
 
 _DIAG_RESET = np.array([-1.0, 0.0, 0.0, 0.0, 0.0], np.float32)
 
 
+def _ext_guess(state: DevState, win: GuessWindows | None, spec: DevSpec):
+    """On-device IMU / wheel-odom guess integration (reference ImuCalc /
+    OdomCalc / ImuOdomCalc, odom_node.cpp:494-663). Returns
+    (state, ext_delta, use_ext): use_ext is False when the scan's window is
+    fully masked (e.g. the first scan), falling back to constant velocity."""
+    from xchu_slam_tpu.ops import imu as imu_ops
+
+    if win is None or not (spec.use_imu or spec.use_odom):
+        return state, jnp.zeros(6, jnp.float32), jnp.bool_(False)
+    pose0 = state.odom.pose
+    d_imu = d_wheel = None
+    have = jnp.bool_(True)
+    if spec.use_imu and win.imu is not None:
+        d_imu, new_st = imu_ops.integrate_imu(
+            win.imu, pose0, imu_ops.ImuState(velocity=state.imu_vel))
+        state = state._replace(imu_vel=new_st.velocity)
+        have = have & jnp.any(win.imu.mask)
+    if spec.use_odom and win.wheel is not None:
+        d_wheel = imu_ops.integrate_wheel_odom(win.wheel, pose0)
+        have = have & jnp.any(win.wheel.mask)
+    if d_imu is not None and d_wheel is not None:
+        delta = imu_ops.combine_imu_odom(d_imu, d_wheel)
+    elif d_imu is not None:
+        delta = d_imu
+    elif d_wheel is not None:
+        delta = d_wheel
+    else:
+        return state, jnp.zeros(6, jnp.float32), jnp.bool_(False)
+    return state, delta, have
+
+
 def _device_step_body(state: DevState, cloud: Cloud, stamp, gps_alt,
-                      gps_valid, spec: DevSpec) -> DevState:
+                      gps_valid, spec: DevSpec,
+                      win: GuessWindows | None = None) -> DevState:
     state = state._replace(diag=jnp.asarray(_DIAG_RESET))
     filt = filter_scan(cloud, spec.fcfg)
     prev_pose = state.odom.pose
+    state, ext_delta, use_ext = _ext_guess(state, win, spec)
     new_odom, out = odometry.step(state.odom, filt.xyz, filt.mask, spec.ospec,
-                                  axis=spec.axis)
+                                  ext_delta, use_ext, axis=spec.axis)
     pose = out.pose
     step_d = jnp.linalg.norm(pose[:2] - prev_pose[:2])
     state = state._replace(
@@ -335,14 +389,15 @@ def _device_step_body(state: DevState, cloud: Cloud, stamp, gps_alt,
 @functools.partial(jax.jit, static_argnames=("spec",),
                    donate_argnames=("state",))
 def device_chunk_step(state: DevState, clouds: Cloud, stamps, gps_alts,
-                      gps_valids, scan_valids, spec: DevSpec) -> DevState:
+                      gps_valids, scan_valids, spec: DevSpec,
+                      wins: GuessWindows | None = None) -> DevState:
     """A CHUNK of full SLAM iterations in one device program: `lax.scan` of
     `device_step`'s body over the leading axis of a staged Cloud batch
     (io/prefetch.DeviceChunkPrefetcher) — one h2d transfer + one dispatch per
     chunk. `scan_valids` masks empty trailing slots of a short final chunk
     (those scans are skipped entirely)."""
     return _chunk_body(state, clouds, stamps, gps_alts, gps_valids,
-                       scan_valids, spec)
+                       scan_valids, spec, wins)
 
 
 def raw_state(spec: DevSpec, cloud0: Cloud, cfg: SlamConfig) -> DevState:
@@ -362,6 +417,7 @@ def raw_state(spec: DevSpec, cloud0: Cloud, cfg: SlamConfig) -> DevState:
         last_kf_odom=jnp.zeros(6, jnp.float32),
         loop_count=jnp.int32(0),
         scan_count=jnp.int32(0),
+        imu_vel=jnp.zeros(3, jnp.float32),
         log=jnp.zeros((spec.log_capacity, 16), jnp.float32),
         diag=jnp.asarray(_DIAG_RESET),
     )
@@ -395,17 +451,23 @@ def _seed_first_kf(state: DevState, cloud0: Cloud, stamp0,
 
 
 def _chunk_body(state: DevState, clouds: Cloud, stamps, gps_alts,
-                gps_valids, scan_valids, spec: DevSpec) -> DevState:
+                gps_valids, scan_valids, spec: DevSpec,
+                wins: GuessWindows | None = None) -> DevState:
     def body(st, xs):
-        cloud, stamp, alt, gv, valid = xs
+        if wins is None:
+            (cloud, stamp, alt, gv, valid), w = xs, None
+        else:
+            cloud, stamp, alt, gv, valid, w = xs
         st = jax.lax.cond(
             valid,
-            lambda s: _device_step_body(s, cloud, stamp, alt, gv, spec),
+            lambda s: _device_step_body(s, cloud, stamp, alt, gv, spec, w),
             lambda s: s, st)
         return st, None
 
-    state, _ = jax.lax.scan(body, state,
-                            (clouds, stamps, gps_alts, gps_valids, scan_valids))
+    xs = (clouds, stamps, gps_alts, gps_valids, scan_valids)
+    if wins is not None:
+        xs = xs + (wins,)
+    state, _ = jax.lax.scan(body, state, xs)
     return state
 
 
@@ -431,14 +493,27 @@ def make_mesh_fns(mesh, spec: DevSpec):
 
     assert spec.axis == mesh.axis_names[0]
     rep = P()
+    ext = 1 if (spec.use_imu or spec.use_odom) else 0
+
+    if ext:
+        def step_body(state, cloud, stamp, gps_alt, gps_valid, win):
+            return _device_step_body(state, cloud, stamp, gps_alt, gps_valid,
+                                     spec, win)
+
+        def chunk_body(state, clouds, stamps, alts, gvs, valids, wins):
+            return _chunk_body(state, clouds, stamps, alts, gvs, valids,
+                               spec, wins)
+    else:
+        step_body = functools.partial(_device_step_body, spec=spec)
+        chunk_body = functools.partial(_chunk_body, spec=spec)
 
     step = jax.jit(shard_map(
-        functools.partial(_device_step_body, spec=spec), mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep), out_specs=rep, check_vma=False),
+        step_body, mesh=mesh,
+        in_specs=(rep,) * (5 + ext), out_specs=rep, check_vma=False),
         donate_argnums=0)
     chunk = jax.jit(shard_map(
-        functools.partial(_chunk_body, spec=spec), mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep, rep), out_specs=rep,
+        chunk_body, mesh=mesh,
+        in_specs=(rep,) * (6 + ext), out_specs=rep,
         check_vma=False),
         donate_argnums=0)
     seed = jax.jit(shard_map(
@@ -518,8 +593,13 @@ class DeviceSlamPipeline:
         self.loops: list = []
 
     def process_scan(self, cloud: Cloud, intensity=None, stamp: float = 0.0,
-                     gps_alt: float | None = None) -> None:
-        """Feed one device-staged Cloud (io/prefetch.py). No readbacks."""
+                     gps_alt: float | None = None,
+                     imu=None, wheel=None) -> None:
+        """Feed one device-staged Cloud (io/prefetch.py). No readbacks.
+
+        `imu` / `wheel` (ops.imu.ImuWindow / OdomWindow) carry inter-scan
+        sensor samples; with cfg.odom.use_imu/use_odom they are integrated ON
+        DEVICE into the NDT guess (reference use_imu/use_odom modes)."""
         if not isinstance(cloud, Cloud):
             from xchu_slam_tpu.types import make_cloud
             cloud = make_cloud(cloud, intensity,
@@ -529,13 +609,19 @@ class DeviceSlamPipeline:
             self._scans_fed = 1
             return
         self._reserve_log(1)
+        use_ext = self.spec.use_imu or self.spec.use_odom
+        win = GuessWindows(imu=imu, wheel=wheel) if use_ext else None
         args = (self._replicate(cloud), jnp.float32(stamp),
                 jnp.float32(gps_alt if gps_alt is not None else 0.0),
                 jnp.bool_(gps_alt is not None))
         if self.mesh is not None:
-            self.state = self._mesh_step(self.state, *args)
+            if use_ext:
+                self.state = self._mesh_step(self.state, *args,
+                                             self._replicate(win))
+            else:
+                self.state = self._mesh_step(self.state, *args)
         else:
-            self.state = device_step(self.state, *args, self.spec)
+            self.state = device_step(self.state, *args, self.spec, win)
         self._scans_fed += 1
 
     def _init_state(self, cloud: Cloud, stamp: float) -> DevState:
@@ -546,11 +632,13 @@ class DeviceSlamPipeline:
                                jnp.float32(stamp))
 
     def process_chunk(self, clouds: Cloud, stamps, n_real: int,
-                      gps_alts=None) -> None:
+                      gps_alts=None, wins: GuessWindows | None = None) -> None:
         """Feed a staged chunk (Cloud batch [chunk,...] from
         io/prefetch.DeviceChunkPrefetcher): one dispatch for `chunk` scans.
         `stamps` is per-slot [chunk]; `n_real` ≤ chunk marks how many slots
-        hold real scans (a short final chunk)."""
+        hold real scans (a short final chunk). `wins` (GuessWindows with a
+        leading [chunk] axis on every leaf) feeds the IMU / wheel-odom guess
+        when cfg.odom.use_imu/use_odom is set."""
         chunk = clouds.xyz.shape[0]
         stamps = np.asarray(stamps, np.float32)
         if gps_alts is None:
@@ -571,12 +659,19 @@ class DeviceSlamPipeline:
             valid[0] = False
         else:
             self._reserve_log(int(n_real))
+        use_ext = self.spec.use_imu or self.spec.use_odom
+        if not use_ext:
+            wins = None
         args = (self._replicate(clouds), jnp.asarray(stamps),
                 jnp.asarray(alts), jnp.asarray(gvalid), jnp.asarray(valid))
         if self.mesh is not None:
-            self.state = self._mesh_chunk(self.state, *args)
+            if use_ext:
+                self.state = self._mesh_chunk(self.state, *args,
+                                              self._replicate(wins))
+            else:
+                self.state = self._mesh_chunk(self.state, *args)
         else:
-            self.state = device_chunk_step(self.state, *args, self.spec)
+            self.state = device_chunk_step(self.state, *args, self.spec, wins)
         self._scans_fed += int(n_real)
         self._chunks_fed += 1
         if self.sync_every and self._chunks_fed % self.sync_every == 0:

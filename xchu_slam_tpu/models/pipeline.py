@@ -73,13 +73,16 @@ def empty_db(cfg: SlamConfig, kf_points: int) -> KfDb:
 
 @functools.partial(jax.jit, static_argnames=("fcfg", "ospec"),
                    donate_argnames=("state",))
-def fused_filter_step(state, cloud: Cloud, fcfg, ospec):
+def fused_filter_step(state, cloud: Cloud, fcfg, ospec,
+                      ext_delta=None, use_ext=False):
     """Filter + odometry step as ONE device program per scan — a single
     dispatch over the host↔device link instead of two (the per-scan hot
     path; the reference's filter_node→odom_node topic hop collapses into an
-    XLA-fused pipeline stage)."""
+    XLA-fused pipeline stage). `ext_delta`/`use_ext` feed an IMU / wheel-odom
+    initial guess (reference use_imu/use_odom, odom_node.cpp:237-254)."""
     filt = filter_scan(cloud, fcfg)
-    new_state, out = odometry.step(state, filt.xyz, filt.mask, ospec)
+    new_state, out = odometry.step(state, filt.xyz, filt.mask, ospec,
+                                   ext_delta, use_ext)
     return new_state, out, filt
 
 
@@ -197,16 +200,48 @@ class SlamPipeline:
         # just delivered one call later)
         self.defer_sync = False
         self._pending = None
+        # IMU / wheel-odometry guess state (reference use_imu/use_odom modes,
+        # odom_node.cpp:237-254): velocity estimate carried between scans
+        from xchu_slam_tpu.ops import imu as imu_ops
+        self._imu_state = imu_ops.ImuState(velocity=jnp.zeros(3, jnp.float32))
         # diagnostics
         self.odom_log: list[dict] = []
+
+    def _ext_guess(self, imu, wheel):
+        """Integrate the per-scan IMU / wheel windows into an ext_delta for
+        the NDT guess, per the configured mode (ImuCalc / OdomCalc /
+        ImuOdomCalc — odom_node.cpp:494-663). Returns (delta6|None, use)."""
+        from xchu_slam_tpu.ops import imu as imu_ops
+
+        cfg = self.cfg.odom
+        pose0 = self.odom_state.pose
+        d_imu = d_wheel = None
+        if cfg.use_imu and imu is not None:
+            d_imu, self._imu_state = imu_ops.integrate_imu(
+                imu, pose0, self._imu_state)
+        if cfg.use_odom and wheel is not None:
+            d_wheel = imu_ops.integrate_wheel_odom(wheel, pose0)
+        if d_imu is not None and d_wheel is not None:
+            return imu_ops.combine_imu_odom(d_imu, d_wheel), True
+        if d_imu is not None:
+            return d_imu, True
+        if d_wheel is not None:
+            return d_wheel, True
+        return None, False
 
     # ------------------------------------------------------------------ #
     def process_scan(self, xyz: np.ndarray | Cloud,
                      intensity: np.ndarray | None,
-                     stamp: float, gps_alt: float | None = None) -> dict | None:
+                     stamp: float, gps_alt: float | None = None,
+                     imu=None, wheel=None) -> dict | None:
         """Feed one scan. `xyz` may be raw numpy points or an already
         device-staged Cloud (io.prefetch.DeviceScanPrefetcher) — the streaming
-        path that overlaps host→device transfer with compute."""
+        path that overlaps host→device transfer with compute.
+
+        `imu` (ops.imu.ImuWindow) / `wheel` (ops.imu.OdomWindow) carry the
+        inter-scan sensor samples since the previous scan; with
+        cfg.odom.use_imu/use_odom they replace the constant-velocity NDT
+        guess (reference odom_node.cpp:237-254, 494-663)."""
         cfg = self.cfg
         if isinstance(xyz, Cloud):
             cloud = xyz
@@ -225,8 +260,10 @@ class SlamPipeline:
             return {"pose": pose, "keyframe": True, "loop": None,
                     "ground": self._maybe_ground(filt)}
 
+        ext_delta, use_ext = self._ext_guess(imu, wheel)
         self.odom_state, out, filt = fused_filter_step(
-            self.odom_state, cloud, cfg.filter, self.ospec)
+            self.odom_state, cloud, cfg.filter, self.ospec,
+            ext_delta, use_ext)
         if self.defer_sync:
             # dispatch done (async); consume the PREVIOUS scan's results so
             # the host never blocks on the scan just submitted

@@ -408,3 +408,114 @@ def simulate_sequence(
     for p in poses:
         xyz, inten = render_scan(world, p, rng, n_points=n_points)
         yield p, xyz, inten
+
+
+def _interp_traj(gt: np.ndarray, stamps: np.ndarray):
+    """(pos(t), rpy(t), vel(t), acc(t)) interpolators over a pose trajectory.
+
+    Angles are unwrapped before interpolation; velocities/accelerations come
+    from central differences of the interpolated positions."""
+    stamps = np.asarray(stamps, np.float64)
+    pos = np.asarray(gt[:, :3], np.float64)
+    rpy = np.unwrap(np.asarray(gt[:, 3:6], np.float64), axis=0)
+
+    def pos_t(t):
+        return np.stack([np.interp(t, stamps, pos[:, k]) for k in range(3)], -1)
+
+    def rpy_t(t):
+        return np.stack([np.interp(t, stamps, rpy[:, k]) for k in range(3)], -1)
+
+    def vel_t(t, h=1e-3):
+        return (pos_t(t + h) - pos_t(t - h)) / (2 * h)
+
+    def acc_t(t, h=2e-2):
+        return (vel_t(t + h) - vel_t(t - h)) / (2 * h)
+
+    return pos_t, rpy_t, vel_t, acc_t
+
+
+def imu_windows(gt: np.ndarray, stamps: np.ndarray, samples: int = 16,
+                rng: np.random.Generator | None = None,
+                gyro_noise: float = 0.0, accel_noise: float = 0.0):
+    """Synthesize per-scan IMU sample windows along a pose trajectory — the
+    sim analogue of the reference's `/kitti/oxts/imu` feed (`odom_node.cpp:
+    425-460` ImuCB → per-scan integration window).
+
+    Returns numpy arrays shaped for `ops.imu.ImuWindow` with a leading scan
+    axis N: (stamps [N,M], gyro [N,M,3], accel [N,M,3], mask [N,M]). Window i
+    covers (t_{i-1}, t_i]; window 0 is fully masked (no pre-first-scan data).
+    Gyro samples are euler-angle rates (the reference integrates euler sums,
+    `odom_node.cpp:445-455`); accel is body-frame specific force (gravity
+    included) matching `integrate_imu`'s model."""
+    from xchu_slam_tpu.ops.imu import GRAVITY
+
+    gt = np.asarray(gt, np.float64)
+    stamps = np.asarray(stamps, np.float64)
+    N, M = len(gt), samples
+    pos_t, rpy_t, vel_t, acc_t = _interp_traj(gt, stamps)
+    out_stamps = np.zeros((N, M), np.float32)
+    out_gyro = np.zeros((N, M, 3), np.float32)
+    out_accel = np.zeros((N, M, 3), np.float32)
+    out_mask = np.zeros((N, M), bool)
+    gvec = np.array([0.0, 0.0, GRAVITY])
+    for i in range(1, N):
+        t0, t1 = stamps[i - 1], stamps[i]
+        ts = np.linspace(t0, t1, M)
+        # sample k integrates over (ts[k-1], ts[k]] → evaluate rates/accels at
+        # sub-interval midpoints (sample 0 has dt=0 inside integrate_imu)
+        mid = np.concatenate([[t0], 0.5 * (ts[1:] + ts[:-1])])
+        gyro = np.gradient(rpy_t(ts), ts, axis=0)
+        gyro = np.stack([np.interp(mid, ts, gyro[:, k]) for k in range(3)], -1)
+        aw = acc_t(np.clip(mid, stamps[0] + 0.05, stamps[-1] - 0.05))
+        rpy_mid = rpy_t(mid)
+        from xchu_slam_tpu.utils import se3 as _se3
+        import jax.numpy as _jnp
+        R = np.asarray(_se3.euler_to_matrix(_jnp.asarray(rpy_mid,
+                                                         _jnp.float32)))
+        accel = np.einsum("mba,mb->ma", R, aw + gvec)
+        if rng is not None and (gyro_noise or accel_noise):
+            gyro = gyro + rng.normal(0, gyro_noise, gyro.shape)
+            accel = accel + rng.normal(0, accel_noise, accel.shape)
+        out_stamps[i] = ts
+        out_gyro[i] = gyro
+        out_accel[i] = accel
+        out_mask[i] = True
+    return out_stamps, out_gyro, out_accel, out_mask
+
+
+def wheel_windows(gt: np.ndarray, stamps: np.ndarray, samples: int = 16,
+                  rng: np.random.Generator | None = None,
+                  vel_noise: float = 0.0, gyro_noise: float = 0.0):
+    """Synthesize per-scan wheel-odometry twist windows (the reference's
+    `/odom_raw` feed, `odom_node.cpp:463-476` OdomCB → OdomCalc): body-frame
+    linear velocity + euler rates. Shapes as `ops.imu.OdomWindow` with a
+    leading scan axis; window 0 masked."""
+    gt = np.asarray(gt, np.float64)
+    stamps = np.asarray(stamps, np.float64)
+    N, M = len(gt), samples
+    pos_t, rpy_t, vel_t, _ = _interp_traj(gt, stamps)
+    out_stamps = np.zeros((N, M), np.float32)
+    out_lin = np.zeros((N, M, 3), np.float32)
+    out_ang = np.zeros((N, M, 3), np.float32)
+    out_mask = np.zeros((N, M), bool)
+    for i in range(1, N):
+        t0, t1 = stamps[i - 1], stamps[i]
+        ts = np.linspace(t0, t1, M)
+        mid = np.concatenate([[t0], 0.5 * (ts[1:] + ts[:-1])])
+        vw = vel_t(np.clip(mid, stamps[0] + 0.05, stamps[-1] - 0.05))
+        ang = np.gradient(rpy_t(ts), ts, axis=0)
+        ang = np.stack([np.interp(mid, ts, ang[:, k]) for k in range(3)], -1)
+        rpy_mid = rpy_t(mid)
+        from xchu_slam_tpu.utils import se3 as _se3
+        import jax.numpy as _jnp
+        R = np.asarray(_se3.euler_to_matrix(_jnp.asarray(rpy_mid,
+                                                         _jnp.float32)))
+        lin = np.einsum("mba,mb->ma", R, vw)
+        if rng is not None and (vel_noise or gyro_noise):
+            lin = lin + rng.normal(0, vel_noise, lin.shape)
+            ang = ang + rng.normal(0, gyro_noise, ang.shape)
+        out_stamps[i] = ts
+        out_lin[i] = lin
+        out_ang[i] = ang
+        out_mask[i] = True
+    return out_stamps, out_lin, out_ang, out_mask
