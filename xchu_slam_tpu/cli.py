@@ -73,6 +73,8 @@ def cmd_run_sim(args):
         cfg = cfg.override({"odom.use_imu": True})
     if args.wheel:
         cfg = cfg.override({"odom.use_odom": True})
+    if args.gps:
+        cfg = cfg.override({"pgo.use_gps": True})
     cfg = _apply_overrides(cfg, args.set)
     timers = StageTimers()
 
@@ -97,6 +99,12 @@ def cmd_run_sim(args):
         # synthesize the reference's /kitti/oxts/imu + /odom_raw feeds along
         # the trajectory (odom_node.cpp:425-476), with measurement noise
         sensor_windows = _sim_sensor_windows(cfg, gt, gt_stamps, rng)
+    gps_alts = None
+    if cfg.pgo.use_gps:
+        # synthetic altimeter along the trajectory: noisy, with dropouts
+        # (the reference's /kitti/oxts/gps/fix altitude, pgo_node.cpp:104-111)
+        gps_alts = gt[:, 2] + rng.normal(0.0, 0.5, n_scans)
+        gps_alts[rng.random(n_scans) < 0.2] = np.nan  # 20% dropout
     os.makedirs(args.out, exist_ok=True)
     if args.engine == "device":
         # fully on-device engine, chunked ingest (the bench.py throughput path)
@@ -127,7 +135,12 @@ def cmd_run_sim(args):
                     stamps = np.pad(stamps, (0, nslot - len(stamps)),
                                     mode="edge")
                 wins = _slice_windows(sensor_windows, base, nslot, n_scans)
-                pipe.process_chunk(clouds, stamps, n_real, wins=wins)
+                galt = None
+                if gps_alts is not None:
+                    gi = np.minimum(base + np.arange(nslot), n_scans - 1)
+                    galt = gps_alts[gi]
+                pipe.process_chunk(clouds, stamps, n_real, gps_alts=galt,
+                                   wins=wins)
                 base += n_real
                 chunk_ts.append(time.perf_counter())
                 if args.checkpoint_every and (base // 16) % max(
@@ -147,8 +160,11 @@ def cmd_run_sim(args):
                                              index=index)
             with timers.time("slam"):
                 imu_w, wheel_w = _scan_windows(sensor_windows, i)
+                galt = None
+                if gps_alts is not None and np.isfinite(gps_alts[i]):
+                    galt = float(gps_alts[i])
                 pipe.process_scan(xyz, inten, stamp=float(gt_stamps[i]),
-                                  imu=imu_w, wheel=wheel_w)
+                                  gps_alt=galt, imu=imu_w, wheel=wheel_w)
             if args.verbose and i % 25 == 0:
                 print(f"scan {i}: kf={pipe.kf_count} loops={pipe.loop_count}",
                       file=sys.stderr)
@@ -475,6 +491,9 @@ def main(argv=None):
     ps.add_argument("--loop-method", default="sc",
                     choices=["sc", "isc", "radius", "none"])
     ps.add_argument("--out", default="out/sim")
+    ps.add_argument("--gps", action="store_true",
+                    help="altitude GPS factors from a synthetic noisy "
+                    "altimeter with dropouts (reference GPSFactor)")
     ps.add_argument("--imu", action="store_true",
                     help="IMU-integrated NDT guess from simulated gyro/accel "
                     "(reference use_imu mode)")
