@@ -82,9 +82,13 @@ def phase1():
     jax.block_until_ready(out_w.pose)
 
     # timed: median of reps (the relay's rate is erratic rep to rep — the
-    # median is what the bench reliably reproduces; every rep is recorded)
+    # median is what the bench reliably reproduces; every rep is recorded).
+    # These reps end with block_until_ready — which on this relay can return
+    # BEFORE execution finishes (measured: 0.1 ms block-timed vs 2714 ms
+    # readback-timed for the same program), so they are recorded as the
+    # PIPELINED dispatch rate; the headline comes from the verified rep below.
     rep_rates = []
-    for _rep in range(5):
+    for _rep in range(4):
         pf = DeviceChunkPrefetcher(scans[1:], capacity=fcfg.max_raw_points,
                                    chunk=CHUNK, depth=2, threads=2)
         filt = filter_scan(cl0, fcfg)
@@ -98,7 +102,24 @@ def phase1():
         rep_dt = time.perf_counter() - t0
         rep_rates.append((n_scans - 1) / rep_dt)
         print(f"rep {rep_rates[-1]:.1f} scans/s", file=sys.stderr)
-    med_rate = float(np.median(rep_rates))
+    # VERIFIED rep: identical feed, but the timed region ends with an
+    # actual device→host readback of the final pose — forced completion, so
+    # the rate cannot be inflated by work still queued behind a returned
+    # block_until_ready. Runs LAST because the first readback permanently
+    # degrades the relay's pipelined dispatch (PERF.md).
+    pf = DeviceChunkPrefetcher(scans[1:], capacity=fcfg.max_raw_points,
+                               chunk=CHUNK, depth=2, threads=2)
+    filt = filter_scan(cl0, fcfg)
+    state = odometry.init_state(ospec, jnp.zeros(6), filt.xyz, filt.mask)
+    t0 = time.perf_counter()
+    chunk_poses = []
+    for clouds, n_real in pf:
+        state, outs = odometry.chunk_step(state, clouds, fcfg, ospec)
+        chunk_poses.append((outs.pose, n_real))
+    _ = np.asarray(chunk_poses[-1][0])           # forced completion
+    verified_rate = (n_scans - 1) / (time.perf_counter() - t0)
+    print(f"verified {verified_rate:.1f} scans/s", file=sys.stderr)
+    med_rate = float(verified_rate)
 
     # readbacks (end of the timed region)
     gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
@@ -108,7 +129,7 @@ def phase1():
     ate = metrics.ape_rmse(est[:, :3], gt_rel[:len(est)], align=False)
     print(json.dumps({
         "scans_per_sec": round(med_rate, 2),
-        "rep_scans_per_sec": [round(r, 1) for r in rep_rates],
+        "pipelined_scans_per_sec": [round(r, 1) for r in rep_rates],
         "ate_m": round(float(ate), 4),
         "n_scans": n_scans,
         "backend": jax.devices()[0].platform,
@@ -154,9 +175,9 @@ def phase2():
                            n_real)
     jax.block_until_ready(warm.state.log)
 
-    rep_rates = []
+    rep_rates = []                  # pipelined (block-terminated) rates
     pipe = None
-    for _rep in range(3):
+    for _rep in range(2):
         pipe = DeviceSlamPipeline(cfg, kf_points=4096, sync_every=0)
         pf2 = DeviceChunkPrefetcher(full_scans,
                                     capacity=cfg.filter.max_raw_points,
@@ -172,6 +193,23 @@ def phase2():
         rep_rates.append(n_full / rep_dt)
         print(f"rep {rep_rates[-1]:.1f} scans/s (full)", file=sys.stderr)
 
+    # VERIFIED rep (see phase1): timed region ends with a scalar
+    # readback — forced completion, immune to block_until_ready returning
+    # early on the relay
+    pipe = DeviceSlamPipeline(cfg, kf_points=4096, sync_every=0)
+    pf2 = DeviceChunkPrefetcher(full_scans,
+                                capacity=cfg.filter.max_raw_points,
+                                chunk=CHUNK, depth=2, threads=2)
+    t1 = time.perf_counter()
+    base = 0
+    for clouds, n_real in pf2:
+        stamps = 0.1 * (base + np.arange(clouds.xyz.shape[0]))
+        pipe.process_chunk(clouds, stamps, n_real)
+        base += n_real
+    _ = int(np.asarray(pipe.state.scan_count))   # forced completion
+    verified_rate = n_full / (time.perf_counter() - t1)
+    print(f"verified {verified_rate:.1f} scans/s (full)", file=sys.stderr)
+
     # readbacks (end of the timed region)
     pipe.finalize()
     gtT2 = np.asarray(se3.pose_to_matrix(jnp.asarray(gt2)))
@@ -181,8 +219,8 @@ def phase2():
     ate_full = metrics.ape_rmse(kf_opt[:, :3], gt2_rel[idx], align=False)
     print(json.dumps({
         "scans": n_full,
-        "scans_per_sec": round(float(np.median(rep_rates)), 2),
-        "rep_scans_per_sec": [round(r, 1) for r in rep_rates],
+        "scans_per_sec": round(float(verified_rate), 2),
+        "pipelined_scans_per_sec": [round(r, 1) for r in rep_rates],
         "keyframes": int(pipe.db.count),
         "loops": pipe.loop_count,
         "ate_m": round(float(ate_full), 4),
@@ -288,7 +326,7 @@ def phase5():
         t0 = time.perf_counter()
         for i, cl in enumerate(clouds[8:]):
             pipe.process_scan(cl, stamp=0.1 * (8 + i))
-        jax.block_until_ready(pipe.state.log)
+        _ = int(np.asarray(pipe.state.scan_count))   # forced completion
         dt = time.perf_counter() - t0
         out[name + "_step_ms"] = round(1e3 * dt / len(clouds[8:]), 2)
     out["overhead_pct"] = round(

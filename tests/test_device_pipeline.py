@@ -291,3 +291,24 @@ def test_log_wrap_archives_rows_chunked(sim_scans):
                                    chunk=8, depth=1, threads=1)
         for clouds, n_real in pf:
             tiny.process_chunk(clouds, np.zeros(8, np.float32), n_real)
+
+
+def test_solve_cadence_defers_optimization():
+    """solve_every=2: the first accepted loop records the factor but leaves
+    opt poses stale; the second triggers the (warm-started) solve — the
+    batched-iSAM2-update economy knob (PERF.md 'pose-graph solve cost')."""
+    cfg = _cfg(**{"loop.max_correction": 5.0, "pgo.solve_every": 2})
+    spec = dp.spec_from_config(cfg, kf_points=2048, log_capacity=64)
+    rng = np.random.default_rng(0)
+    state, poses = _planted_state(spec, cfg, rng)
+    before = np.asarray(state.db.opt_poses[:12])
+
+    s1 = dp._verify_and_apply(state, jnp.int32(11), jnp.int32(10),
+                              jnp.float32(0.0), spec)
+    assert int(s1.loop_count) == 1
+    np.testing.assert_array_equal(np.asarray(s1.db.opt_poses[:12]), before)
+
+    s2 = dp._verify_and_apply(s1, jnp.int32(11), jnp.int32(9),
+                              jnp.float32(0.0), spec)
+    assert int(s2.loop_count) == 2
+    assert not np.array_equal(np.asarray(s2.db.opt_poses[:12]), before)

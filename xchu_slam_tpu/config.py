@@ -158,7 +158,11 @@ class PgoConfig:
     cauchy_k: float = 1.0           # robust kernel scale multiplier on loop fitness
     gn_iterations: int = 8
     cg_iterations: int = 100
-    cg_tol: float = 1e-8
+    cg_tol: float = 1e-6            # relative: exit when ||r||² < tol·||b||²
+    # per-accepted-loop solve economy (see pose_graph.GraphSpec): warm-started
+    # GN iterations for in-run solves, and re-solve cadence in accepted loops
+    inloop_gn_iterations: int = 2
+    solve_every: int = 1
     max_keyframes: int = 2048       # static capacity of keyframe store
     max_loops: int = 256            # static capacity of accepted loop factors
 

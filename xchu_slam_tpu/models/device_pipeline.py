@@ -211,13 +211,21 @@ def _verify_and_apply(state: DevState, k, cand, yaw, spec: DevSpec) -> DevState:
                     1.0 / jnp.maximum(res.fitness, 1e-2)),
                 loop_mask=state.graph.loop_mask.at[q].set(True),
             )
-            opt = pg.solve(state.db.opt_poses, graph, spec.gspec,
-                           axis=spec.axis)
-            return state._replace(
-                graph=graph,
-                db=state.db._replace(opt_poses=opt),
-                loop_count=q + 1,
-            )
+            state = state._replace(graph=graph, loop_count=q + 1)
+
+            # warm-started in-step solve (pg.inloop_spec), at the configured
+            # cadence — the iSAM2-incrementality analogue; finalize() always
+            # runs the full-strength solve
+            def solve(state: DevState) -> DevState:
+                opt = pg.solve(state.db.opt_poses, state.graph,
+                               pg.inloop_spec(spec.gspec), axis=spec.axis)
+                return state._replace(db=state.db._replace(opt_poses=opt))
+
+            if spec.gspec.solve_every <= 1:
+                return solve(state)
+            return jax.lax.cond(
+                state.loop_count % spec.gspec.solve_every == 0,
+                solve, lambda s: s, state)
 
         return jax.lax.cond(ok, apply, lambda s: s, state)
 

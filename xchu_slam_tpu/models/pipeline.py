@@ -477,8 +477,16 @@ class SlamPipeline:
             return None
         return self._apply_loop(v)
 
-    def _solve_graph(self):
-        opt = pg.solve(self.db.opt_poses, self.graph, self.gspec)
+    def _solve_graph(self, full: bool = False):
+        """`full=False` (in-run, per accepted loop) uses the warm-started
+        inloop spec and honors the solve_every cadence; finalize passes
+        full=True for the full-strength solve (matches the device engine)."""
+        spec = self.gspec
+        if not full:
+            if spec.solve_every > 1 and self.loop_count % spec.solve_every:
+                return  # cadence: leave opt poses until the next solve
+            spec = pg.inloop_spec(spec)
+        opt = pg.solve(self.db.opt_poses, self.graph, spec)
         self.db = self.db._replace(opt_poses=opt)
         self._dirty_graph = False
 
@@ -498,7 +506,7 @@ class SlamPipeline:
                 self._apply_loop(v)
             self._worker = None
         if self._dirty_graph or self.loop_count > 0:
-            self._solve_graph()
+            self._solve_graph(full=True)
 
     def keyframe_trajectory(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(stamps, odometry poses6, optimized poses6) for live keyframes."""

@@ -40,9 +40,19 @@ class GraphSpec(NamedTuple):
     cauchy_k: float = 1.0
     gn_iterations: int = 8
     cg_iterations: int = 100
-    cg_tol: float = 1e-8
+    cg_tol: float = 1e-6         # RELATIVE: exit when ||r||² < tol·||b||²
     gps_info_xy: float = 1e-9    # reference variance 1e9
     gps_info_z: float = 1.0 / 250.0
+    # in-step (per-accepted-loop) solve economy — the iSAM2-incrementality
+    # analogue (pgo_node.cpp:498-528). The mid-run graph is warm-started from
+    # the previous optimum plus one new factor, so few GN iterations suffice;
+    # the finalize solve always runs the full gn_iterations. solve_every=M
+    # re-solves only every M-th accepted loop (opt poses stay stale between,
+    # exactly what batching iSAM2 updates would do). Measured on TPU v5e at
+    # K=2048: full solve ≈ gn·cg·0.33 ms (see PERF.md "pose-graph solve
+    # cost"); defaults keep in-step cost ~100 ms worst-case.
+    inloop_gn_iterations: int = 2
+    solve_every: int = 1
 
 
 def spec_from_config(pgo_cfg) -> GraphSpec:
@@ -55,6 +65,8 @@ def spec_from_config(pgo_cfg) -> GraphSpec:
         gn_iterations=pgo_cfg.gn_iterations,
         cg_iterations=pgo_cfg.cg_iterations,
         cg_tol=pgo_cfg.cg_tol,
+        inloop_gn_iterations=pgo_cfg.inloop_gn_iterations,
+        solve_every=pgo_cfg.solve_every,
         gps_info_xy=1.0 / pgo_cfg.gps_noise_xy,
         gps_info_z=1.0 / pgo_cfg.gps_noise_alt,
     )
@@ -72,6 +84,16 @@ class GraphData(NamedTuple):
     loop_mask: jnp.ndarray    # [L] bool
     gps_alt: jnp.ndarray      # [K]: measured altitude
     gps_mask: jnp.ndarray     # [K] bool
+
+
+def inloop_spec(spec: GraphSpec) -> GraphSpec:
+    """Spec variant for per-accepted-loop solves: warm-started from the
+    previous optimum, so `inloop_gn_iterations` replaces the full
+    `gn_iterations` (0 = no reduction). Finalize always uses the full spec."""
+    if spec.inloop_gn_iterations and \
+            spec.inloop_gn_iterations < spec.gn_iterations:
+        return spec._replace(gn_iterations=spec.inloop_gn_iterations)
+    return spec
 
 
 def empty_graph(spec: GraphSpec) -> GraphData:
@@ -138,187 +160,156 @@ def _cauchy_weights(r_loop_whitened, k: float):
     return 1.0 / (1.0 + s / (k * k))
 
 
-def _block_jacobi(xi0, Ts0, g, spec, robust_w):
-    """Exact 6×6 diagonal blocks of H = Jᵀ W J, assembled per factor."""
-    K = Ts0.shape[0]
+def _edge_jacobians(Ts, ki, kj, Z):
+    """Per-factor 6×6 Jacobians of `_between_residual` w.r.t. the tangent
+    updates of nodes i and j, at xi=0 (vmapped forward-mode)."""
+    z6 = jnp.zeros(6, jnp.float32)
 
-    def odom_blocks(k):
+    def blk(i, j, Zf):
         def r_i(x):
-            Ti = jnp.matmul(Ts0[k - 1], se3.se3_exp(x), precision=_PREC)
-            return _between_residual(Ti, Ts0[k], g.between_T[k])
+            Ti = jnp.matmul(Ts[i], se3.se3_exp(x), precision=_PREC)
+            return _between_residual(Ti, Ts[j], Zf)
 
         def r_j(x):
-            Tj = jnp.matmul(Ts0[k], se3.se3_exp(x), precision=_PREC)
-            return _between_residual(Ts0[k - 1], Tj, g.between_T[k])
+            Tj = jnp.matmul(Ts[j], se3.se3_exp(x), precision=_PREC)
+            return _between_residual(Ts[i], Tj, Zf)
 
-        Ji = jax.jacfwd(r_i)(jnp.zeros(6, jnp.float32))
-        Jj = jax.jacfwd(r_j)(jnp.zeros(6, jnp.float32))
-        return Ji, Jj
+        return jax.jacfwd(r_i)(z6), jax.jacfwd(r_j)(z6)
 
-    ks = jnp.arange(1, K)
-    Ji, Jj = jax.vmap(odom_blocks)(ks)                         # [K-1,6,6]
-    w = jnp.where((g.kf_mask[:-1] & g.kf_mask[1:]),
-                  1.0, 0.0)[:, None, None]
-    Winfo = jnp.diag(jnp.array([spec.odom_info_t] * 3 + [spec.odom_info_r] * 3,
-                               jnp.float32))
-    Hi = jnp.einsum("fab,bc,fcd->fad", Ji.transpose(0, 2, 1), Winfo, Ji,
-                    precision=_PREC) * w
-    Hj = jnp.einsum("fab,bc,fcd->fad", Jj.transpose(0, 2, 1), Winfo, Jj,
-                    precision=_PREC) * w
-
-    blocks = jnp.zeros((K, 6, 6), jnp.float32)
-    blocks = blocks.at[ks - 1].add(Hi)
-    blocks = blocks.at[ks].add(Hj)
-
-    def loop_blocks(l):
-        i, j = g.loop_i[l], g.loop_j[l]
-
-        def r_i(x):
-            Ti = jnp.matmul(Ts0[i], se3.se3_exp(x), precision=_PREC)
-            return _between_residual(Ti, Ts0[j], g.loop_T[l])
-
-        def r_j(x):
-            Tj = jnp.matmul(Ts0[j], se3.se3_exp(x), precision=_PREC)
-            return _between_residual(Ts0[i], Tj, g.loop_T[l])
-
-        Ji = jax.jacfwd(r_i)(jnp.zeros(6, jnp.float32))
-        Jj = jax.jacfwd(r_j)(jnp.zeros(6, jnp.float32))
-        return Ji, Jj
-
-    L = g.loop_i.shape[0]
-    Jli, Jlj = jax.vmap(loop_blocks)(jnp.arange(L))
-    wl = (jnp.where(g.loop_mask, g.loop_info, 0.0) * robust_w)[:, None, None]
-    Hli = jnp.einsum("fab,fcd->fad", Jli.transpose(0, 2, 1), Jli,
-                     precision=_PREC) * wl
-    Hlj = jnp.einsum("fab,fcd->fad", Jlj.transpose(0, 2, 1), Jlj,
-                     precision=_PREC) * wl
-    blocks = blocks.at[g.loop_i].add(jnp.where(g.loop_mask[:, None, None], Hli, 0.0))
-    blocks = blocks.at[g.loop_j].add(jnp.where(g.loop_mask[:, None, None], Hlj, 0.0))
-
-    # gps: d(z)/dxi — approximate with translation-z row only
-    gz = jnp.where(g.gps_mask & g.kf_mask, spec.gps_info_z, 0.0)
-    blocks = blocks.at[:, 2, 2].add(gz)
-
-    # gauge fixing + damping
-    blocks = blocks.at[0].set(jnp.eye(6))
-    blocks = blocks + 1e-6 * jnp.eye(6)[None]
-    return blocks
+    return jax.vmap(blk)(ki, kj, Z)
 
 
 def sharded_gn_solve(poses6, between_l, pairmask_l, eb, li_l, lj_l, lT_l,
                      linfo_l, lmask_l, gpsa_l, gpsm_l, gb,
-                     spec: GraphSpec, axis: str):
-    """Factor-sharded Gauss-Newton+CG solve body (poses replicated, factors
-    sharded over the mesh axis). Each device evaluates residuals, Jacobian
-    products, and preconditioner blocks for ITS slice of between/loop/GPS
-    factors; gradients, Hessian-vector products, and block-Jacobi blocks
-    combine with deterministic all-gather-sum reductions, so every device
-    runs an identical CG loop and holds identical optimized poses
-    (SURVEY.md §2d P4/P5, §5 long-context: the keyframe/factor axis is the
-    sharding axis of the backend).
+                     spec: GraphSpec, axis: str | None = None):
+    """Gauss-Newton + preconditioned-CG pose-graph solve over a factor shard
+    (the FULL factor set when axis=None — this is the single implementation
+    behind `solve` and the mesh engines).
 
-    `eb`/`gb` are this device's first between/GPS factor indices (traced
-    scalars); between row i maps to edge (k-1, k) with k = clip(eb+i, 1, K-1)
-    and a zero `pairmask_l` weight on the clipped duplicate row, so every
-    factor is counted exactly once across the mesh. Called by `solve(axis=…)`
-    (slicing replicated inputs) and by parallel/sharded.py (physically
-    sharded inputs)."""
+    Performance design (measured on TPU v5e, K=2048 — PERF.md "pose-graph
+    solve cost"): CG iterations dominate, and a Hessian-vector product via
+    jvp-of-vjp re-traverses the se3 chain (~3.4 ms/iteration). Instead the
+    per-factor 6×6 Jacobian blocks are materialized ONCE per GN iteration
+    (vmapped `jacfwd` — the same blocks the block-Jacobi preconditioner
+    needs) and gradient/Hvp/preconditioner are all assembled from them as
+    batched [E,6,6]×[E,6] contractions: H = JᵀWJ exactly (the jvp/vjp pair
+    evaluated at xi=0 computes the identical Gauss-Newton matrix), at ~30×
+    less per CG iteration.
+
+    Sharding: `eb`/`gb` are this shard's first between/GPS factor indices
+    (traced scalars); between row i maps to edge (k-1, k) with
+    k = clip(eb+i, 1, K-1) and a zero `pairmask_l` weight on the clipped
+    duplicate row, so every factor is counted exactly once across the mesh.
+    Cross-shard reductions (grad, Hvp, preconditioner blocks) combine with a
+    deterministic all-gather-sum, so every device runs an identical CG loop
+    (SURVEY.md §2d P4/P5)."""
     K = poses6.shape[0]
 
-    def allred(x):
-        return jnp.sum(jax.lax.all_gather(x, axis), 0)
+    if axis is None:
+        allred = lambda x: x
+    else:
+        def allred(x):
+            return jnp.sum(jax.lax.all_gather(x, axis), 0)
 
-    odom_sqrtw = jnp.sqrt(jnp.array([spec.odom_info_t] * 3 +
-                                    [spec.odom_info_r] * 3, jnp.float32))
+    odom_info = jnp.array([spec.odom_info_t] * 3 + [spec.odom_info_r] * 3,
+                          jnp.float32)
     Ts0 = se3.pose_to_matrix(poses6)
     E = between_l.shape[0]
-    Lh = li_l.shape[0]
     G = gpsa_l.shape[0]
-
-    def residuals(xi, Ts, robust_w):
-        mask0 = jnp.ones((K, 1), xi.dtype).at[0, 0].set(0.0)
-        T = jnp.matmul(Ts, se3.se3_exp(xi * mask0), precision=_PREC)
-        ke = jnp.clip(eb + jnp.arange(E), 1, K - 1)
-        r_o = jax.vmap(_between_residual)(T[ke - 1], T[ke], between_l)
-        r_o = r_o * jnp.where(pairmask_l[:, None], odom_sqrtw[None, :], 0.0)
-        r_l = jax.vmap(_between_residual)(T[li_l], T[lj_l], lT_l)
-        w_l = jnp.where(lmask_l, jnp.sqrt(jnp.maximum(linfo_l, 0.0)), 0.0)
-        r_l = r_l * (w_l * jnp.sqrt(robust_w))[:, None]
-        kg = jnp.clip(gb + jnp.arange(G), 0, K - 1)
-        r_g = (T[kg, 2, 3] - gpsa_l) * jnp.where(
-            gpsm_l, jnp.sqrt(jnp.float32(spec.gps_info_z)), 0.0)
-        return jnp.concatenate([r_o.reshape(-1), r_l.reshape(-1), r_g])
+    ke = jnp.clip(eb + jnp.arange(E), 1, K - 1)
+    kg = jnp.clip(gb + jnp.arange(G), 0, K - 1)
+    gz = jnp.where(gpsm_l, jnp.float32(spec.gps_info_z), 0.0)       # [G]
+    wp = pairmask_l.astype(jnp.float32)                             # [E]
+    mask0 = jnp.ones((K, 1), jnp.float32).at[0, 0].set(0.0)
 
     def gn_iter(Ts, _):
-        xi0 = jnp.zeros((K, 6), jnp.float32)
-        r_l0 = jax.vmap(_between_residual)(Ts[li_l], Ts[lj_l], lT_l)
-        w_l = jnp.where(lmask_l, jnp.sqrt(jnp.maximum(linfo_l, 0.0)), 0.0)
-        robust_w = _cauchy_weights(r_l0 * w_l[:, None], spec.cauchy_k)
+        # residuals and robust (IRLS Cauchy) weights at xi=0
+        r_o = jax.vmap(_between_residual)(Ts[ke - 1], Ts[ke], between_l)
+        r_l = jax.vmap(_between_residual)(Ts[li_l], Ts[lj_l], lT_l)
+        w_lin = jnp.where(lmask_l, jnp.maximum(linfo_l, 0.0), 0.0)  # [Lh]
+        robust_w = _cauchy_weights(r_l * jnp.sqrt(w_lin)[:, None],
+                                   spec.cauchy_k)
+        wl = w_lin * robust_w                                       # [Lh]
 
-        resfn = lambda xi: residuals(xi, Ts, robust_w)
-        r0, vjp = jax.vjp(resfn, xi0)
-        grad = allred(vjp(r0)[0])
+        # per-factor Jacobian blocks (shared by grad, Hvp, preconditioner)
+        Ji, Jj = _edge_jacobians(Ts, ke - 1, ke, between_l)         # [E,6,6]
+        Jli, Jlj = _edge_jacobians(Ts, li_l, lj_l, lT_l)            # [Lh,6,6]
+        A = Ts[kg, 2, :3]          # GPS altitude row: dz/dρ = R[2,:] [G,3]
+        r_g = Ts[kg, 2, 3] - gpsa_l
+
+        def gps6(x3):              # pad [G,3] translation rows to [G,6]
+            return jnp.concatenate([x3, jnp.zeros_like(x3)], -1)
+
+        # gradient g = JᵀW r
+        wro = r_o * odom_info[None, :] * wp[:, None]
+        wrl = r_l * wl[:, None]
+        g = jnp.zeros((K, 6), jnp.float32)
+        g = g.at[ke - 1].add(jnp.einsum("fab,fa->fb", Ji, wro,
+                                        precision=_PREC))
+        g = g.at[ke].add(jnp.einsum("fab,fa->fb", Jj, wro, precision=_PREC))
+        g = g.at[li_l].add(jnp.einsum("fab,fa->fb", Jli, wrl,
+                                      precision=_PREC))
+        g = g.at[lj_l].add(jnp.einsum("fab,fa->fb", Jlj, wrl,
+                                      precision=_PREC))
+        g = g.at[kg].add(gps6((gz * r_g)[:, None] * A))
+        g = allred(g) * mask0
 
         def hvp(v):
-            _, jv = jax.jvp(resfn, (xi0,), (v,))
-            return allred(vjp(jv)[0])
+            """H v = JᵀW(Jv), assembled from the factor blocks — exactly the
+            Gauss-Newton matrix the jvp/vjp pair at xi=0 computes."""
+            v = v * mask0
+            jv = (jnp.einsum("fab,fb->fa", Ji, v[ke - 1], precision=_PREC)
+                  + jnp.einsum("fab,fb->fa", Jj, v[ke], precision=_PREC))
+            wjv = jv * odom_info[None, :] * wp[:, None]
+            jvl = (jnp.einsum("fab,fb->fa", Jli, v[li_l], precision=_PREC)
+                   + jnp.einsum("fab,fb->fa", Jlj, v[lj_l], precision=_PREC))
+            wjvl = jvl * wl[:, None]
+            y = jnp.zeros((K, 6), jnp.float32)
+            y = y.at[ke - 1].add(jnp.einsum("fab,fa->fb", Ji, wjv,
+                                            precision=_PREC))
+            y = y.at[ke].add(jnp.einsum("fab,fa->fb", Jj, wjv,
+                                        precision=_PREC))
+            y = y.at[li_l].add(jnp.einsum("fab,fa->fb", Jli, wjvl,
+                                          precision=_PREC))
+            y = y.at[lj_l].add(jnp.einsum("fab,fa->fb", Jlj, wjvl,
+                                          precision=_PREC))
+            s = jnp.einsum("fa,fa->f", A, v[kg, :3], precision=_PREC)
+            y = y.at[kg].add(gps6((gz * s)[:, None] * A))
+            return allred(y) * mask0
 
-        # block-Jacobi preconditioner from local factors, reduced
-        def eblocks(r):
-            k = jnp.clip(eb + r, 1, K - 1)
-
-            def r_i(x):
-                Ti = jnp.matmul(Ts[k - 1], se3.se3_exp(x), precision=_PREC)
-                return _between_residual(Ti, Ts[k], between_l[r])
-
-            def r_j(x):
-                Tj = jnp.matmul(Ts[k], se3.se3_exp(x), precision=_PREC)
-                return _between_residual(Ts[k - 1], Tj, between_l[r])
-
-            return (jax.jacfwd(r_i)(jnp.zeros(6, jnp.float32)),
-                    jax.jacfwd(r_j)(jnp.zeros(6, jnp.float32)))
-
-        Ji, Jj = jax.vmap(eblocks)(jnp.arange(E))
-        Winfo = jnp.diag(odom_sqrtw ** 2)
-        wpair = pairmask_l.astype(jnp.float32)[:, None, None]
+        # exact 6×6 block-Jacobi preconditioner from the same blocks
+        Winfo = jnp.diag(odom_info)
         Hi = jnp.einsum("fab,bc,fcd->fad", Ji.transpose(0, 2, 1), Winfo, Ji,
-                        precision=_PREC) * wpair
+                        precision=_PREC) * wp[:, None, None]
         Hj = jnp.einsum("fab,bc,fcd->fad", Jj.transpose(0, 2, 1), Winfo, Jj,
-                        precision=_PREC) * wpair
-        ke = jnp.clip(eb + jnp.arange(E), 1, K - 1)
+                        precision=_PREC) * wp[:, None, None]
         blocks = jnp.zeros((K, 6, 6), jnp.float32)
         blocks = blocks.at[ke - 1].add(Hi)
         blocks = blocks.at[ke].add(Hj)
-
-        def lblocks(r):
-            def r_i(x):
-                Ti = jnp.matmul(Ts[li_l[r]], se3.se3_exp(x), precision=_PREC)
-                return _between_residual(Ti, Ts[lj_l[r]], lT_l[r])
-
-            def r_j(x):
-                Tj = jnp.matmul(Ts[lj_l[r]], se3.se3_exp(x), precision=_PREC)
-                return _between_residual(Ts[li_l[r]], Tj, lT_l[r])
-
-            return (jax.jacfwd(r_i)(jnp.zeros(6, jnp.float32)),
-                    jax.jacfwd(r_j)(jnp.zeros(6, jnp.float32)))
-
-        Jli, Jlj = jax.vmap(lblocks)(jnp.arange(Lh))
-        wl = (jnp.where(lmask_l, linfo_l, 0.0) * robust_w)[:, None, None]
+        wl3 = wl[:, None, None]
         blocks = blocks.at[li_l].add(
             jnp.einsum("fab,fcd->fad", Jli.transpose(0, 2, 1), Jli,
-                       precision=_PREC) * wl)
+                       precision=_PREC) * wl3)
         blocks = blocks.at[lj_l].add(
             jnp.einsum("fab,fcd->fad", Jlj.transpose(0, 2, 1), Jlj,
-                       precision=_PREC) * wl)
+                       precision=_PREC) * wl3)
+        gouter = jnp.einsum("f,fa,fb->fab", gz, A, A, precision=_PREC)
+        blocks = blocks.at[kg].add(
+            jnp.pad(gouter, ((0, 0), (0, 3), (0, 3))))
         blocks = allred(blocks)
         blocks = blocks.at[0].set(jnp.eye(6))
         blocks = blocks + 1e-6 * jnp.eye(6)[None]
         chol = jnp.linalg.cholesky(blocks)
 
         def precond(v):
-            return jax.scipy.linalg.cho_solve((chol, True), v[..., None])[..., 0]
+            return jax.scipy.linalg.cho_solve((chol, True),
+                                              v[..., None])[..., 0]
 
-        b = -grad
+        # PCG with a relative stopping rule on the preconditioned norm
+        # (rᵀz < tol·bᵀz₀): scale-invariant, so converged solves stop paying
+        # for the iteration cap (the absolute 1e-8 rule never fired; 2.7 s →
+        # the measured ~0.1-0.3 s per in-step solve at K=2048)
+        b = -g
 
         def cg_body(st):
             x, r, z, p, rz, it = st
@@ -331,15 +322,15 @@ def sharded_gn_solve(poses6, between_l, pairmask_l, eb, li_l, lj_l, lT_l,
             beta = rz_new / jnp.maximum(rz, 1e-20)
             return x, r, z, z + beta * p, rz_new, it + 1
 
-        def cg_cond(st):
-            return (jnp.vdot(st[1], st[1]) > spec.cg_tol) & \
-                (st[5] < spec.cg_iterations)
-
         z0 = precond(b)
+        rz0 = jnp.vdot(b, z0)
+
+        def cg_cond(st):
+            return (st[4] > spec.cg_tol * rz0) & (st[5] < spec.cg_iterations)
+
         x, *_ = jax.lax.while_loop(
             cg_cond, cg_body,
-            (jnp.zeros_like(b), b, z0, z0, jnp.vdot(b, z0), jnp.int32(0)))
-        mask0 = jnp.ones((K, 1), jnp.float32).at[0, 0].set(0.0)
+            (jnp.zeros_like(b), b, z0, z0, rz0, jnp.int32(0)))
         return jnp.matmul(Ts, se3.se3_exp(x * mask0), precision=_PREC), None
 
     Ts, _ = jax.lax.scan(gn_iter, Ts0, None, length=spec.gn_iterations)
@@ -381,69 +372,19 @@ def solve(poses6: jnp.ndarray, graph: GraphData, spec: GraphSpec,
 
     The reference runs isam->update twice then rewrites every pose
     (`ISAM2Update`, pgo_node.cpp:498-528); here each call is a fresh
-    Gauss-Newton solve of the full graph. With `axis` set (inside a
-    replicated-input `shard_map`), the factor set shards over the mesh —
-    see `_solve_factor_sharded` / `sharded_gn_solve`."""
+    (warm-started) Gauss-Newton solve of the full graph through
+    `sharded_gn_solve` — single-device when axis=None, factor-sharded over
+    the mesh inside a replicated-input `shard_map` otherwise."""
     if axis is not None:
         return _solve_factor_sharded(poses6, graph, spec, axis)
     K = poses6.shape[0]
-    Ts = se3.pose_to_matrix(poses6)
-
-    def gn_iter(Ts, _):
-        xi0 = jnp.zeros((K, 6), jnp.float32)
-
-        # robust (IRLS) weights from current loop residuals
-        _ro, rl, _rg = _whitened_residuals(xi0, Ts, graph, spec)
-        robust_w = _cauchy_weights(rl, spec.cauchy_k)
-
-        def resfn(xi):
-            ro, rl_, rg = _whitened_residuals(xi, Ts, graph, spec)
-            rl_ = rl_ * jnp.sqrt(robust_w)[:, None]
-            return jnp.concatenate([ro.reshape(-1), rl_.reshape(-1), rg])
-
-        r0, vjp = jax.vjp(resfn, xi0)
-        grad = vjp(r0)[0]                                     # Jᵀ r  [K,6]
-
-        def hvp(v):
-            _, jv = jax.jvp(resfn, (xi0,), (v,))
-            return vjp(jv)[0]
-
-        blocks = _block_jacobi(xi0, Ts, graph, spec, robust_w)
-        # block-Jacobi preconditioner application
-        chol = jnp.linalg.cholesky(blocks)
-
-        def precond(v):
-            y = jax.scipy.linalg.cho_solve((chol, True), v[..., None])
-            return y[..., 0]
-
-        b = -grad
-
-        def cg_body(state):
-            x, r, z, p, rz, it = state
-            Hp = hvp(p)
-            alpha = rz / jnp.maximum(jnp.vdot(p, Hp), 1e-20)
-            x = x + alpha * p
-            r = r - alpha * Hp
-            z = precond(r)
-            rz_new = jnp.vdot(r, z)
-            beta = rz_new / jnp.maximum(rz, 1e-20)
-            p = z + beta * p
-            return x, r, z, p, rz_new, it + 1
-
-        def cg_cond(state):
-            _x, r, _z, _p, _rz, it = state
-            return (jnp.vdot(r, r) > spec.cg_tol) & (it < spec.cg_iterations)
-
-        z0 = precond(b)
-        x0 = jnp.zeros_like(b)
-        x, *_ = jax.lax.while_loop(
-            cg_cond, cg_body, (x0, b, z0, z0, jnp.vdot(b, z0), jnp.int32(0))
-        )
-        mask0 = jnp.ones((K, 1), jnp.float32).at[0, 0].set(0.0)
-        Ts_new = jnp.matmul(Ts, se3.se3_exp(x * mask0), precision=_PREC)
-        return Ts_new, None
-
-    Ts, _ = jax.lax.scan(gn_iter, Ts, None, length=spec.gn_iterations)
-    out = se3.matrix_to_pose(Ts)
+    pairmask = jnp.concatenate(
+        [jnp.zeros(1, bool), graph.kf_mask[:-1] & graph.kf_mask[1:]])
+    out = sharded_gn_solve(
+        poses6, graph.between_T, pairmask, jnp.int32(0),
+        graph.loop_i, graph.loop_j, graph.loop_T,
+        graph.loop_info, graph.loop_mask,
+        graph.gps_alt, graph.gps_mask & graph.kf_mask, jnp.int32(0),
+        spec, axis=None)
     # untouched (masked-out) keyframes keep their input poses
     return jnp.where(graph.kf_mask[:, None], out, poses6)
