@@ -103,9 +103,18 @@ def test_robust_kernel_downweights_bad_loop(rng):
                    loop_T=jnp.asarray(lT), loop_info=jnp.asarray(linfo),
                    loop_mask=jnp.asarray(lm))
     out = np.asarray(pg.solve(jnp.asarray(poses), g, SOFT))
-    # trajectory shift must stay bounded (robust kernel saturates the factor)
+    # trajectory shift must stay bounded RELATIVE to the unrobust solve (the
+    # Cauchy kernel saturates the factor's influence; it does not zero it).
+    # NOTE: the original absolute bound (2 m) was an artifact of
+    # under-converged CG — with the chain-exact preconditioner (or jacobi at
+    # cg_iterations=4000) the TRUE robust optimum of this soft chain vs a
+    # 57 m bogus measurement sits at ~9 m max shift, vs ~97 m unrobust.
     shift = np.linalg.norm(out[:n, :3] - poses[:n, :3], axis=1).max()
-    assert shift < 2.0, shift
+    out_nr = np.asarray(pg.solve(jnp.asarray(poses), g,
+                                 SOFT._replace(cauchy_k=1e9)))
+    shift_nr = np.linalg.norm(out_nr[:n, :3] - poses[:n, :3], axis=1).max()
+    assert shift_nr > 50.0, shift_nr  # the bogus factor really is destructive
+    assert shift < 0.15 * shift_nr, (shift, shift_nr)
 
 
 def test_gps_altitude_pulls_z(rng):
@@ -266,3 +275,42 @@ def test_block_hvp_matches_autodiff_gauss_newton():
     s = jnp.einsum("fa,fa->f", A, v[:, :3])
     y = (y.at[jnp.arange(K)].add(gps6((gz * s)[:, None] * A))) * mask0
     np.testing.assert_allclose(np.asarray(y), hv_ref, atol=2e-3)
+
+
+def test_block_tridiag_solve_matches_dense():
+    """block_tridiag_factor/solve (lax.scan LDLᵀ + O(log K) associative-scan
+    substitutions) vs a dense numpy solve on a random SPD block-tridiagonal
+    system, including a stiff chain (1e6/1e4 mixed weights like the odometry
+    information matrix)."""
+    rng = np.random.default_rng(0)
+    for K, stiff in [(9, False), (64, True)]:
+        J = rng.normal(0, 1, (K, 6, 6)).astype(np.float32)
+        w = np.ones(6, np.float32)
+        if stiff:
+            w = np.array([1e3] * 3 + [10.0] * 3, np.float32)
+        D = np.einsum("kba,b,kbc->kac", J, w, J) + \
+            3.0 * np.eye(6, dtype=np.float32)
+        U = 0.3 * rng.normal(0, 1, (K, 6, 6)).astype(np.float32)
+        U[0] = 0.0
+        # symmetric block-tridiagonal M; make it PD by diagonal dominance
+        M = np.zeros((K * 6, K * 6), np.float32)
+        for k in range(K):
+            M[6*k:6*k+6, 6*k:6*k+6] = D[k]
+            if k >= 1:
+                M[6*(k-1):6*k, 6*k:6*k+6] = U[k]
+                M[6*k:6*k+6, 6*(k-1):6*k] = U[k].T
+        ew = np.linalg.eigvalsh(M.astype(np.float64))
+        if ew.min() < 1e-3:   # ensure PD for the oracle
+            D = D + (1e-3 - ew.min()) * np.eye(6, dtype=np.float32)[None]
+            for k in range(K):
+                M[6*k:6*k+6, 6*k:6*k+6] = D[k]
+        r = rng.normal(0, 1, (K, 6)).astype(np.float32)
+
+        d, chols, A = pg.block_tridiag_factor(jnp.asarray(D),
+                                              jnp.asarray(U))
+        z = np.asarray(pg.block_tridiag_solve(d, chols, A, jnp.asarray(r)))
+        z_ref = np.linalg.solve(M.astype(np.float64),
+                                r.reshape(-1).astype(np.float64)).reshape(K, 6)
+        denom = max(1.0, np.abs(z_ref).max())
+        assert np.abs(z - z_ref).max() / denom < 5e-3, \
+            (K, stiff, np.abs(z - z_ref).max())

@@ -163,6 +163,7 @@ class PgoConfig:
     # GN iterations for in-run solves, and re-solve cadence in accepted loops
     inloop_gn_iterations: int = 2
     solve_every: int = 1
+    precond: str = "tridiag"        # CG preconditioner: "tridiag" | "jacobi"
     max_keyframes: int = 2048       # static capacity of keyframe store
     max_loops: int = 256            # static capacity of accepted loop factors
 

@@ -53,6 +53,13 @@ class GraphSpec(NamedTuple):
     # cost"); defaults keep in-step cost ~100 ms worst-case.
     inloop_gn_iterations: int = 2
     solve_every: int = 1
+    # CG preconditioner: "tridiag" solves the CHAIN part of the Hessian
+    # exactly (block-LDLᵀ + O(log K) associative-scan substitution) so CG
+    # only has to resolve the loop couplings — on chain-dominated pose graphs
+    # plain block-Jacobi CG propagates corrections one hop per iteration and
+    # runs to the cap (measured; PERF.md "pose-graph solve cost").
+    # "jacobi" = exact 6×6 diagonal blocks only.
+    precond: str = "tridiag"
 
 
 def spec_from_config(pgo_cfg) -> GraphSpec:
@@ -67,6 +74,7 @@ def spec_from_config(pgo_cfg) -> GraphSpec:
         cg_tol=pgo_cfg.cg_tol,
         inloop_gn_iterations=pgo_cfg.inloop_gn_iterations,
         solve_every=pgo_cfg.solve_every,
+        precond=pgo_cfg.precond,
         gps_info_xy=1.0 / pgo_cfg.gps_noise_xy,
         gps_info_z=1.0 / pgo_cfg.gps_noise_alt,
     )
@@ -158,6 +166,84 @@ def _cauchy_weights(r_loop_whitened, k: float):
     (reference robustLoopNoise, pgo_node.cpp:96-102)."""
     s = jnp.sum(r_loop_whitened ** 2, axis=-1)
     return 1.0 / (1.0 + s / (k * k))
+
+
+def block_tridiag_factor(D, U):
+    """Block-LDLᵀ (Thomas) factorization of a symmetric block-tridiagonal
+    matrix M with diagonal blocks D [K,6,6] and super-diagonal coupling
+    U [K,6,6] (U[k] couples nodes k-1 and k; U[0] is ignored).
+
+    The system is first symmetrically Jacobi-scaled (d = √diag D per node):
+    pose-graph Hessians mix 1e6-weighted translations with 1e4-weighted
+    rotations, and the raw Schur recursion underflows f32 on long stiff
+    chains (the anchored chain's effective stiffness decays like 1/k).
+
+    Returns (d [K,6], chols [K,6,6], A [K,6,6]) over the SCALED system:
+    S_k = D'_k − U'_kᵀ S_{k-1}⁻¹ U'_k, chols[k] = chol(S_k),
+    A[k] = S_{k-1}⁻¹ U'_k (A[0] = 0). The recurrence is inherently sequential
+    but each step is one 6×6 cho_solve — a `lax.scan` of tiny fused ops,
+    paid once per GN iteration."""
+    I6 = jnp.eye(6, dtype=D.dtype)
+
+    d = jnp.sqrt(jnp.abs(jnp.diagonal(D, axis1=-2, axis2=-1)) + 1e-12)
+    Dn = D / (d[:, :, None] * d[:, None, :])
+    dprev = jnp.concatenate([d[:1], d[:-1]], 0)
+    Un = U / (dprev[:, :, None] * d[:, None, :])
+
+    def damp(S):
+        # damping must track the block's own scale: the anchored chain's
+        # Schur complements decay like 1/k, and a FIXED eps compounds through
+        # the recursion into O(1) relative error (measured 12-14% even in
+        # f64); relative damping keeps the factorization faithful
+        return S + (1e-6 * jnp.trace(S) / 6.0 + 1e-12) * I6
+
+    chol0 = jnp.linalg.cholesky(damp(Dn[0]))
+
+    def step(cholprev, x):
+        Dk, Uk = x
+        Ak = jax.scipy.linalg.cho_solve((cholprev, True), Uk)
+        Sk = Dk - jnp.matmul(Uk.transpose(), Ak, precision=_PREC)
+        cholk = jnp.linalg.cholesky(damp(0.5 * (Sk + Sk.transpose())))
+        return cholk, (cholk, Ak)
+
+    _, (chols, A) = jax.lax.scan(step, chol0, (Dn[1:], Un[1:]))
+    chols = jnp.concatenate([chol0[None], chols], 0)
+    A = jnp.concatenate([jnp.zeros((1, 6, 6), D.dtype), A], 0)
+    return d, chols, A
+
+
+def block_tridiag_solve(d, chols, A, r):
+    """Solve M z = r given `block_tridiag_factor`'s output, in O(log K) depth
+    via two affine `associative_scan`s (the TPU-native substitution):
+
+      forward   y_k = r_k − A_kᵀ y_{k-1}          (affine in y_{k-1})
+      backward  z_k = S_k⁻¹ y_k − A_{k+1} z_{k+1}  (affine in z_{k+1})
+
+    Affine maps (M, c) compose associatively: (M₂,c₂)∘(M₁,c₁) =
+    (M₂M₁, M₂c₁+c₂); the first element's M is zeroed so the prefix result is
+    init-independent. With the Jacobi scaling C=diag(d): M = C M' C, so
+    z = C⁻¹ solve'(C⁻¹ r)."""
+    K = r.shape[0]
+    r = r / d
+
+    def combine(a, b):
+        Ma, ca = a
+        Mb, cb = b
+        return (jnp.matmul(Mb, Ma, precision=_PREC),
+                jnp.einsum("...ab,...b->...a", Mb, ca,
+                           precision=_PREC) + cb)
+
+    # forward substitution
+    Mf = -A.transpose(0, 2, 1)
+    Mf = Mf.at[0].set(0.0)
+    _, y = jax.lax.associative_scan(combine, (Mf, r), axis=0)
+
+    # backward substitution
+    b = jax.scipy.linalg.cho_solve((chols, True), y[..., None])[..., 0]
+    Mb = -jnp.concatenate([A[1:], jnp.zeros((1, 6, 6), A.dtype)], 0)
+    Mb = Mb.at[K - 1].set(0.0)
+    _, z = jax.lax.associative_scan(combine, (Mb, b), axis=0, reverse=True)
+    return z / d
 
 
 def _edge_jacobians(Ts, ki, kj, Z):
@@ -299,11 +385,30 @@ def sharded_gn_solve(poses6, between_l, pairmask_l, eb, li_l, lj_l, lT_l,
         blocks = allred(blocks)
         blocks = blocks.at[0].set(jnp.eye(6))
         blocks = blocks + 1e-6 * jnp.eye(6)[None]
-        chol = jnp.linalg.cholesky(blocks)
 
-        def precond(v):
-            return jax.scipy.linalg.cho_solve((chol, True),
-                                              v[..., None])[..., 0]
+        if spec.precond == "tridiag":
+            # chain-exact preconditioner: M = H_chain + diag(loop/GPS/damping)
+            # — a sum of PSD terms, so the block-LDLᵀ factorization is safe.
+            # U[k] = M[k-1,k] = Ji_kᵀ W Jj_k (chain coupling only; loop
+            # couplings stay with CG). U[1] is zeroed to keep the
+            # gauge-fixed node 0 (blocks[0]=I) isolated, matching the true
+            # Hessian's empty row/col 0.
+            Uc = jnp.einsum("fab,bc,fcd->fad", Ji.transpose(0, 2, 1), Winfo,
+                            Jj, precision=_PREC) * wp[:, None, None]
+            U = jnp.zeros((K, 6, 6), jnp.float32)
+            U = U.at[ke].add(Uc)
+            U = allred(U)
+            U = U.at[1].set(0.0)
+            dsc, chols, Af = block_tridiag_factor(blocks, U)
+
+            def precond(v):
+                return block_tridiag_solve(dsc, chols, Af, v)
+        else:
+            chol = jnp.linalg.cholesky(blocks)
+
+            def precond(v):
+                return jax.scipy.linalg.cho_solve((chol, True),
+                                                  v[..., None])[..., 0]
 
         # PCG with a relative stopping rule on the preconditioned norm
         # (rᵀz < tol·bᵀz₀): scale-invariant, so converged solves stop paying
