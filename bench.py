@@ -81,32 +81,16 @@ def phase1():
         state, out_w = odometry.chunk_step(state, clouds_w, fcfg, ospec)
     jax.block_until_ready(out_w.pose)
 
-    # timed: median of reps (the relay's rate is erratic rep to rep — the
-    # median is what the bench reliably reproduces; every rep is recorded).
-    # These reps end with block_until_ready — which on this relay can return
-    # BEFORE execution finishes (measured: 0.1 ms block-timed vs 2714 ms
-    # readback-timed for the same program), so they are recorded as the
-    # PIPELINED dispatch rate; the headline comes from the verified rep below.
-    rep_rates = []
-    for _rep in range(4):
-        pf = DeviceChunkPrefetcher(scans[1:], capacity=fcfg.max_raw_points,
-                                   chunk=CHUNK, depth=2, threads=2)
-        filt = filter_scan(cl0, fcfg)
-        state = odometry.init_state(ospec, jnp.zeros(6), filt.xyz, filt.mask)
-        t0 = time.perf_counter()
-        chunk_poses = []
-        for clouds, n_real in pf:
-            state, outs = odometry.chunk_step(state, clouds, fcfg, ospec)
-            chunk_poses.append((outs.pose, n_real))
-        chunk_poses[-1][0].block_until_ready()
-        rep_dt = time.perf_counter() - t0
-        rep_rates.append((n_scans - 1) / rep_dt)
-        print(f"rep {rep_rates[-1]:.1f} scans/s", file=sys.stderr)
-    # VERIFIED rep: identical feed, but the timed region ends with an
-    # actual device→host readback of the final pose — forced completion, so
-    # the rate cannot be inflated by work still queued behind a returned
-    # block_until_ready. Runs LAST because the first readback permanently
-    # degrades the relay's pipelined dispatch (PERF.md).
+    # VERIFIED rep runs FIRST, on a clean queue: the timed region ends
+    # with an actual device→host readback of the final pose — forced
+    # completion, so the rate cannot be inflated by work still queued behind
+    # a returned block_until_ready (measured: block can return ~27000×
+    # early on this relay). Shallow periodic soft-drains (every 4 chunks,
+    # the engine's production sync_every) keep the final drain off the
+    # pathological deep-backlog path (PERF.md "relay pathologies"). Running
+    # first matters twice over: the first readback both permanently degrades
+    # pipelined dispatch AND pays a drain stall proportional to the
+    # undrained backlog behind it.
     pf = DeviceChunkPrefetcher(scans[1:], capacity=fcfg.max_raw_points,
                                chunk=CHUNK, depth=2, threads=2)
     filt = filter_scan(cl0, fcfg)
@@ -116,10 +100,31 @@ def phase1():
     for clouds, n_real in pf:
         state, outs = odometry.chunk_step(state, clouds, fcfg, ospec)
         chunk_poses.append((outs.pose, n_real))
+        if len(chunk_poses) % 4 == 0:
+            jax.block_until_ready(outs.pose)
     _ = np.asarray(chunk_poses[-1][0])           # forced completion
     verified_rate = (n_scans - 1) / (time.perf_counter() - t0)
     print(f"verified {verified_rate:.1f} scans/s", file=sys.stderr)
     med_rate = float(verified_rate)
+
+    # pipelined dispatch reps (block-terminated; post-readback mode) — the
+    # upper envelope the relay sustains when nothing forces completion
+    rep_rates = []
+    for _rep in range(3):
+        pf = DeviceChunkPrefetcher(scans[1:], capacity=fcfg.max_raw_points,
+                                   chunk=CHUNK, depth=2, threads=2)
+        filt = filter_scan(cl0, fcfg)
+        state = odometry.init_state(ospec, jnp.zeros(6), filt.xyz, filt.mask)
+        t0 = time.perf_counter()
+        chunk_poses_p = []
+        for clouds, n_real in pf:
+            state, outs = odometry.chunk_step(state, clouds, fcfg, ospec)
+            chunk_poses_p.append((outs.pose, n_real))
+        _ = np.asarray(chunk_poses_p[-1][0])     # drain between reps
+        rep_dt = time.perf_counter() - t0
+        rep_rates.append((n_scans - 1) / rep_dt)
+        print(f"rep {rep_rates[-1]:.1f} scans/s (readback-terminated)",
+              file=sys.stderr)
 
     # readbacks (end of the timed region)
     gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
@@ -129,7 +134,7 @@ def phase1():
     ate = metrics.ape_rmse(est[:, :3], gt_rel[:len(est)], align=False)
     print(json.dumps({
         "scans_per_sec": round(med_rate, 2),
-        "pipelined_scans_per_sec": [round(r, 1) for r in rep_rates],
+        "rep_scans_per_sec_post_readback": [round(r, 1) for r in rep_rates],
         "ate_m": round(float(ate), 4),
         "n_scans": n_scans,
         "backend": jax.devices()[0].platform,
@@ -175,28 +180,10 @@ def phase2():
                            n_real)
     jax.block_until_ready(warm.state.log)
 
-    rep_rates = []                  # pipelined (block-terminated) rates
-    pipe = None
-    for _rep in range(2):
-        pipe = DeviceSlamPipeline(cfg, kf_points=4096, sync_every=0)
-        pf2 = DeviceChunkPrefetcher(full_scans,
-                                    capacity=cfg.filter.max_raw_points,
-                                    chunk=CHUNK, depth=2, threads=2)
-        t1 = time.perf_counter()
-        base = 0
-        for clouds, n_real in pf2:
-            stamps = 0.1 * (base + np.arange(clouds.xyz.shape[0]))
-            pipe.process_chunk(clouds, stamps, n_real)
-            base += n_real
-        jax.block_until_ready(pipe.state.log)
-        rep_dt = time.perf_counter() - t1
-        rep_rates.append(n_full / rep_dt)
-        print(f"rep {rep_rates[-1]:.1f} scans/s (full)", file=sys.stderr)
-
-    # VERIFIED rep (see phase1): timed region ends with a scalar
-    # readback — forced completion, immune to block_until_ready returning
-    # early on the relay
-    pipe = DeviceSlamPipeline(cfg, kf_points=4096, sync_every=0)
+    # VERIFIED rep FIRST (see phase1): clean queue, production sync
+    # cadence (sync_every=4), timed region ends with a scalar readback —
+    # forced completion, immune to block_until_ready returning early
+    pipe = DeviceSlamPipeline(cfg, kf_points=4096, sync_every=4)
     pf2 = DeviceChunkPrefetcher(full_scans,
                                 capacity=cfg.filter.max_raw_points,
                                 chunk=CHUNK, depth=2, threads=2)
@@ -210,6 +197,25 @@ def phase2():
     verified_rate = n_full / (time.perf_counter() - t1)
     print(f"verified {verified_rate:.1f} scans/s (full)", file=sys.stderr)
 
+    # pipelined dispatch reps (post-readback mode), drained between reps
+    rep_rates = []
+    for _rep in range(2):
+        pipe = DeviceSlamPipeline(cfg, kf_points=4096, sync_every=0)
+        pf2 = DeviceChunkPrefetcher(full_scans,
+                                    capacity=cfg.filter.max_raw_points,
+                                    chunk=CHUNK, depth=2, threads=2)
+        t1 = time.perf_counter()
+        base = 0
+        for clouds, n_real in pf2:
+            stamps = 0.1 * (base + np.arange(clouds.xyz.shape[0]))
+            pipe.process_chunk(clouds, stamps, n_real)
+            base += n_real
+        _ = int(np.asarray(pipe.state.scan_count))  # drain between reps
+        rep_dt = time.perf_counter() - t1
+        rep_rates.append(n_full / rep_dt)
+        print(f"rep {rep_rates[-1]:.1f} scans/s (full, readback-terminated)",
+              file=sys.stderr)
+
     # readbacks (end of the timed region)
     pipe.finalize()
     gtT2 = np.asarray(se3.pose_to_matrix(jnp.asarray(gt2)))
@@ -220,7 +226,7 @@ def phase2():
     print(json.dumps({
         "scans": n_full,
         "scans_per_sec": round(float(verified_rate), 2),
-        "pipelined_scans_per_sec": [round(r, 1) for r in rep_rates],
+        "rep_scans_per_sec_post_readback": [round(r, 1) for r in rep_rates],
         "keyframes": int(pipe.db.count),
         "loops": pipe.loop_count,
         "ate_m": round(float(ate_full), 4),
