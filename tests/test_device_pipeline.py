@@ -195,6 +195,7 @@ def _planted_state(spec, cfg, rng):
         last_kf_odom=jnp.asarray(poses[-1]),
         loop_count=jnp.int32(0), scan_count=jnp.int32(K),
         imu_vel=jnp.zeros(3, jnp.float32),
+        last_stamp=jnp.float32(0.0),
         log=jnp.zeros((spec.log_capacity, 16), jnp.float32),
         diag=jnp.asarray(dp._DIAG_RESET),
     )
@@ -228,6 +229,84 @@ def test_verify_and_apply_rejects_far_candidate():
     # and cand = -1 (no retrieval hit) is a no-op
     out2 = dp._verify_and_apply(state, jnp.int32(11), jnp.int32(-1), jnp.float32(0.0), spec)
     assert int(out2.loop_count) == 0
+
+
+def test_verify_rejects_unconverged_icp():
+    """A capped, still-moving ICP pair must be REJECTED even though it passes
+    the fitness threshold (reference accepts only `icp.hasConverged() &&
+    fitness <= thresh`, pgo_node.cpp:441-448). With max_iterations=1 the
+    while_loop exits on the cap with converged=False while fitness ≈ 0
+    (identical clouds at the exact initial transform)."""
+    cfg = _cfg(**{"loop.max_correction": 5.0, "loop.icp_max_iterations": 1})
+    spec = dp.spec_from_config(cfg, kf_points=2048, log_capacity=64)
+    rng = np.random.default_rng(0)
+    state, _ = _planted_state(spec, cfg, rng)
+    out = dp._verify_and_apply(state, jnp.int32(11), jnp.int32(10),
+                               jnp.float32(0.0), spec)
+    # the verify branch RAN and its fitness passed the threshold...
+    assert bool(out.diag[4] > 0.5)
+    assert float(out.diag[2]) <= cfg.loop.icp_fitness_thresh
+    # ...but the unconverged result must not become a loop factor
+    assert int(out.loop_count) == 0
+
+    # host engine: same planted revisit through detect_and_verify_snapshot
+    # (radius retrieval finds keyframe 10 at 2 m; ICP capped → None). Stamps
+    # re-spaced so the min_time_diff gate excludes the query itself, as in a
+    # real run where kf k carries the current stamp.
+    db = state.db._replace(
+        stamps=state.db.stamps.at[:12].set(40.0 * jnp.arange(12.0)))
+    cur_stamp = float(db.stamps[11])
+    host_cfg = _cfg(**{"loop.max_correction": 5.0, "loop.method": "radius",
+                       "loop.icp_max_iterations": 1})
+    pipe = SlamPipeline(host_cfg, kf_points=2048)
+    pipe.db = db
+    pipe.kf_count = 12
+    assert pipe.detect_and_verify_snapshot(11, stamp=cur_stamp) is None
+    # control: with the iteration budget restored the same pair is accepted
+    host_cfg2 = _cfg(**{"loop.max_correction": 5.0, "loop.method": "radius"})
+    pipe2 = SlamPipeline(host_cfg2, kf_points=2048)
+    pipe2.db = db
+    pipe2.kf_count = 12
+    v = pipe2.detect_and_verify_snapshot(11, stamp=cur_stamp)
+    assert v is not None and v.i == 10 and v.j == 11
+
+
+def test_radius_candidate_searches_optimized_poses():
+    """Loop method 0 must retrieve against OPTIMIZED poses (the reference's
+    kd-tree over keyframePosesUpdated, pgo_node.cpp:303-342): after a loop
+    correction pulls the current keyframe back near the start, raw odometric
+    poses would miss the candidate entirely. Host and device functions must
+    agree (round-2 divergence: host searched raw poses)."""
+    from xchu_slam_tpu.models.pipeline import _radius_candidate, empty_db
+
+    cfg = _cfg()
+    db = empty_db(cfg, 64)
+    K = 11
+    raw = np.zeros((K, 6), np.float32)
+    raw[:, 0] = np.arange(K) * 10.0        # drifts to x=100
+    opt = raw.copy()
+    opt[10, 0] = 1.0                       # correction: kf10 lands near kf0
+    db = db._replace(
+        poses=jnp.asarray(np.pad(raw, ((0, 64 - K), (0, 0)))),
+        opt_poses=jnp.asarray(np.pad(opt, ((0, 64 - K), (0, 0)))),
+        # 40 s keyframe spacing: the min_time gate (30 s) excludes the query
+        # itself (which carries the current stamp), as in a real run
+        stamps=db.stamps.at[:K].set(40.0 * jnp.arange(K, dtype=jnp.float32)),
+        count=jnp.int32(K),
+    )
+    cur_stamp = jnp.float32(40.0 * 10)
+    idx, found = _radius_candidate(db, jnp.int32(10), cur_stamp, 5.0, 30.0)
+    assert bool(found) and int(idx) == 0
+
+    spec = dp.spec_from_config(
+        _cfg(**{"loop.radius_search": 5.0}), kf_points=2048, log_capacity=64)
+    dstate = dp.DevState(odom=None, db=db, graph=None, kf_accum=None,
+                         travel=None, last_kf_odom=None, loop_count=None,
+                         scan_count=None, imu_vel=None, last_stamp=None,
+                         log=None, diag=None)
+    didx, dfound = dp._sc_radius_candidate(dstate, jnp.int32(10),
+                                           cur_stamp, spec)
+    assert bool(dfound) and int(didx) == int(idx)
 
 
 def test_log_wrap_archives_rows(sim_scans):

@@ -144,6 +144,42 @@ def test_wheel_and_combined_modes_track(zigzag_scans):
     assert ate_b < 1.0
 
 
+def test_imu_velocity_resets_from_slam_delta(zigzag_scans):
+    """The IMU velocity estimate must be re-anchored to the SLAM pose delta
+    every scan (reference odom_node.cpp:312-317): with a constant accel bias,
+    pure double integration random-walks the velocity (verr = b·t — 1.4 m/s
+    by the end of this run) while the reset bounds the error to one scan's
+    bias integral. Asserted on BOTH engines: the carried velocity must equal
+    the final inter-scan SLAM delta, not the integrated value."""
+    gt, scans = zigzag_scans
+    stamps = 0.1 * np.arange(len(gt))
+    rng = np.random.default_rng(4)
+    ws, wg, wa, wm = sim.imu_windows(gt, stamps, samples=16, rng=rng,
+                                     gyro_noise=0.002, accel_noise=0.05)
+    wa = wa + np.array([0.4, 0.0, 0.0])  # constant accelerometer bias
+    imu_arrs = (ws, wg, wa, wm)
+    cfg = _cfg(**{"odom.use_imu": True})
+
+    ate, _, pipe = _run(cfg, gt, scans, imu_arrs=imu_arrs)
+    traj = pipe.odometry_trajectory()
+    want_vel = (traj[-1, :3] - traj[-2, :3]) / 0.1
+    got_vel = np.asarray(pipe.state.imu_vel)
+    np.testing.assert_allclose(got_vel, want_vel, atol=1e-3)
+    # the biased feed must not wreck tracking (reset keeps the guess sane;
+    # without it verr = 0.4·t ≈ 1.4 m/s by the run's end and grows unbounded)
+    assert ate < 2.5
+
+    from xchu_slam_tpu.models.pipeline import SlamPipeline
+    host = SlamPipeline(cfg, kf_points=1024)
+    for i, (xyz, inten) in enumerate(scans):
+        host.process_scan(xyz, inten, stamp=0.1 * i,
+                          imu=_imu_window(imu_arrs, i))
+    htraj = host.odometry_trajectory()
+    hwant = (htraj[-1, :3] - htraj[-2, :3]) / 0.1
+    np.testing.assert_allclose(np.asarray(host._imu_state.velocity), hwant,
+                               atol=1e-3)
+
+
 def test_chunked_wins_match_per_scan(zigzag_scans):
     """device_chunk_step with stacked GuessWindows must reproduce the
     per-scan IMU path exactly (same programs, scanned)."""

@@ -144,6 +144,7 @@ def _planted_state(spec, cfg, rng):
         last_kf_odom=jnp.asarray(poses[-1]),
         loop_count=jnp.int32(0), scan_count=jnp.int32(K),
         imu_vel=jnp.zeros(3, jnp.float32),
+        last_stamp=jnp.float32(0.0),
         log=jnp.zeros((spec.log_capacity, 16), jnp.float32),
         diag=jnp.asarray(dp._DIAG_RESET),
     )

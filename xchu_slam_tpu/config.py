@@ -158,7 +158,9 @@ class PgoConfig:
     cauchy_k: float = 1.0           # robust kernel scale multiplier on loop fitness
     gn_iterations: int = 8
     cg_iterations: int = 100
-    cg_tol: float = 1e-6            # relative: exit when ||r||² < tol·||b||²
+    cg_tol: float = 1e-6            # relative PCG stop on the PRECONDITIONED
+    # norm: exit when rᵀM⁻¹r < tol·bᵀM⁻¹b (so the effective threshold depends
+    # on the chosen `precond`; see pose_graph.solve's cg_cond)
     # per-accepted-loop solve economy (see pose_graph.GraphSpec): warm-started
     # GN iterations for in-run solves, and re-solve cadence in accepted loops
     inloop_gn_iterations: int = 2

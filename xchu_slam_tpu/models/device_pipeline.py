@@ -128,7 +128,10 @@ class DevState(NamedTuple):
     loop_count: jnp.ndarray    # i32
     scan_count: jnp.ndarray    # i32
     imu_vel: jnp.ndarray       # f32[3] — IMU velocity estimate (world frame,
-    #                            the reference's current_velocity_imu_*)
+    #                            the reference's current_velocity_imu_*; reset
+    #                            from the SLAM pose delta every scan,
+    #                            odom_node.cpp:312-317)
+    last_stamp: jnp.ndarray    # f32 — previous scan's stamp (for the reset dt)
     log: jnp.ndarray           # f32[LOG,16]: pose6, iters, fitness, mfrac,
     #                            is_kf, stamp, + loop diagnostics: cand idx,
     #                            retrieval found, icp fitness, icp correction,
@@ -195,7 +198,11 @@ def _verify_and_apply(state: DevState, k, cand, yaw, spec: DevSpec) -> DevState:
         res = icp.align(db.clouds[k], db.cloud_mask[k], tgt_xyz, tgt_mask,
                         T_init, spec.icpspec, axis=spec.axis)
         corr = jnp.linalg.norm(res.T[:3, 3] - T_init[:3, 3])
-        ok = ((res.fitness <= spec.icp_fitness_thresh)
+        # accept only CONVERGED ICP (reference `icp.hasConverged() &&
+        # fitness <= thresh`, pgo_node.cpp:441-448): a verification that hits
+        # the iteration cap while still moving must not become a loop factor
+        ok = (res.converged
+              & (res.fitness <= spec.icp_fitness_thresh)
               & (corr <= spec.max_correction)
               & (state.loop_count < spec.gspec.max_loops))
         state = state._replace(diag=state.diag.at[2].set(res.fitness)
@@ -369,6 +376,15 @@ def _device_step_body(state: DevState, cloud: Cloud, stamp, gps_alt,
         kf_accum=state.kf_accum + step_d,
         travel=state.travel + step_d,
     )
+    if spec.use_imu:
+        # reset the IMU velocity from the SLAM result every scan (reference
+        # odom_node.cpp:312-317): pure double integration is a random walk in
+        # velocity and degrades below constant-velocity on long runs
+        dt = jnp.asarray(stamp, jnp.float32) - state.last_stamp
+        vel_slam = (pose[:3] - prev_pose[:3]) / jnp.maximum(dt, 1e-6)
+        state = state._replace(
+            imu_vel=jnp.where(dt > 1e-6, vel_slam, state.imu_vel))
+    state = state._replace(last_stamp=jnp.asarray(stamp, jnp.float32))
 
     is_kf = (state.kf_accum >= spec.keyframe_gap) & (
         state.db.count < state.db.poses.shape[0])
@@ -426,6 +442,7 @@ def raw_state(spec: DevSpec, cloud0: Cloud, cfg: SlamConfig) -> DevState:
         loop_count=jnp.int32(0),
         scan_count=jnp.int32(0),
         imu_vel=jnp.zeros(3, jnp.float32),
+        last_stamp=jnp.float32(0.0),
         log=jnp.zeros((spec.log_capacity, 16), jnp.float32),
         diag=jnp.asarray(_DIAG_RESET),
     )
@@ -448,7 +465,8 @@ def _seed_body(state: DevState, cloud0: Cloud, stamp0,
         [pose0, jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32),
          jnp.asarray(stamp0, jnp.float32)[None], jnp.asarray(_DIAG_RESET)])
     return state._replace(log=state.log.at[0].set(row),
-                          scan_count=jnp.int32(1))
+                          scan_count=jnp.int32(1),
+                          last_stamp=jnp.asarray(stamp0, jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("spec",),

@@ -149,10 +149,15 @@ def build_submap(db: KfDb, centre_idx, frame_idx, half_width: int, out_n: int):
 @functools.partial(jax.jit, static_argnames=())
 def _radius_candidate(db: KfDb, cur_idx, cur_stamp, radius, min_time):
     """Loop method 0 (reference pgo_node.cpp:299-342): nearest keyframe within
-    `radius` metres (2-D) that is at least `min_time` seconds older."""
+    `radius` metres (2-D) that is at least `min_time` seconds older.
+
+    Searches OPTIMIZED poses — the reference's kd-tree is built over
+    `keyframePosesUpdated` (pgo_node.cpp:303-342), so after a big loop
+    correction retrieval follows the corrected trajectory; the device engine
+    (`device_pipeline._sc_radius_candidate`) does the same."""
     K = db.poses.shape[0]
-    pos = db.poses[cur_idx, :2]
-    d = jnp.linalg.norm(db.poses[:, :2] - pos[None], axis=-1)
+    pos = db.opt_poses[cur_idx, :2]
+    d = jnp.linalg.norm(db.opt_poses[:, :2] - pos[None], axis=-1)
     eligible = (jnp.arange(K) < db.count) & (db.stamps < cur_stamp - min_time)
     d = jnp.where(eligible, d, jnp.inf)
     best = jnp.argmin(d)
@@ -281,11 +286,22 @@ class SlamPipeline:
         # a device scalar is a separate round trip over the host↔TPU link)
         pose, iters, mfrac, fit = jax.device_get(
             (out.pose, out.iterations, out.matched_frac, out.fitness))
-        step_d = float(np.linalg.norm(pose[:2] - self._last_odom_pose[:2]))
+        prev_pose = self._last_odom_pose
+        step_d = float(np.linalg.norm(pose[:2] - prev_pose[:2]))
         self.travel += step_d
         self.kf_gate_accum += step_d
         self._last_odom_pose = pose
         self.scan_count += 1
+        if cfg.odom.use_imu and self.odom_log:
+            # reset the IMU velocity from the SLAM result every scan
+            # (reference odom_node.cpp:312-317): pure double integration is a
+            # velocity random walk that degrades below constant-velocity
+            from xchu_slam_tpu.ops import imu as imu_ops
+            dt = float(stamp) - self.odom_log[-1]["stamp"]
+            if dt > 1e-6:
+                self._imu_state = imu_ops.ImuState(
+                    velocity=jnp.asarray((pose[:3] - prev_pose[:3]) / dt,
+                                         jnp.float32))
         self.odom_log.append({
             "stamp": stamp,
             "pose": pose,
@@ -307,17 +323,11 @@ class SlamPipeline:
                     self._worker.submit(k, stamp)
                 else:
                     loop_rec = self._detect_and_verify(k, stamp)
-            if loop_rec is not None:
-                self._solve_graph()
         # apply asynchronously verified loops at scan boundaries
         if self._worker is not None:
-            applied = False
             for v in self._worker.drain():
                 if self._apply_loop(v) is not None:
-                    applied = True
                     loop_rec = self.loops[-1]
-            if applied:
-                self._solve_graph()
         return {"pose": pose, "keyframe": is_kf, "loop": loop_rec,
                 "ground": ground_res}
 
@@ -441,7 +451,10 @@ class SlamPipeline:
         res = icp.align(db.clouds[k], db.cloud_mask[k],
                         tgt_xyz, tgt_mask, T_init, self.icpspec)
         fitness = float(res.fitness)
-        if not (fitness <= cfg.loop.icp_fitness_thresh):
+        # reference accepts only `icp.hasConverged() && fitness <= thresh`
+        # (pgo_node.cpp:441-448): a verification that hits the iteration cap
+        # while still moving must not become a loop factor
+        if not (bool(res.converged) and fitness <= cfg.loop.icp_fitness_thresh):
             return None
         # divergence guard: the odometric guess bounds how far a genuine
         # correction can be (fitness alone scales with cloud density)
@@ -469,6 +482,10 @@ class SlamPipeline:
         rec = LoopRecord(i=v.i, j=v.j, fitness=v.fitness, method=v.method)
         self.loops.append(rec)
         self._dirty_graph = True
+        # solve cadence checked PER APPLIED LOOP, matching the device engine's
+        # `_verify_and_apply` (which evaluates solve_every inside the accept
+        # branch) — not once per scan after applying all of a scan's loops
+        self._solve_graph()
         return rec
 
     def _detect_and_verify(self, k: int, stamp: float):

@@ -40,7 +40,9 @@ class GraphSpec(NamedTuple):
     cauchy_k: float = 1.0
     gn_iterations: int = 8
     cg_iterations: int = 100
-    cg_tol: float = 1e-6         # RELATIVE: exit when ||r||² < tol·||b||²
+    cg_tol: float = 1e-6         # RELATIVE PCG stop on the PRECONDITIONED
+    # norm: exit when rᵀM⁻¹r < tol·bᵀM⁻¹b (cg_cond below) — the effective
+    # threshold depends on `precond` (tridiag vs jacobi)
     gps_info_xy: float = 1e-9    # reference variance 1e9
     gps_info_z: float = 1.0 / 250.0
     # in-step (per-accepted-loop) solve economy — the iSAM2-incrementality
