@@ -1,27 +1,46 @@
-"""Benchmark: NDT odometry throughput (scans/s/chip) on synthetic KITTI-like
-scans, plus the FULL SLAM pipeline (loop closure + pose-graph) — both as
-chunked streaming runs on whatever jax.devices() provides.
+"""Benchmark: NDT odometry + full-SLAM throughput (scans/s/chip) and KITTI-00
+accuracy, measured so the recorded numbers are TRUSTWORTHY on this harness.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Baseline: the reference requires 1× KITTI bag replay = 10 scans/s on a desktop
+Baseline: the reference requires 1x KITTI bag replay = 10 scans/s on a desktop
 CPU (reference README.md:47-51; BASELINE.md). vs_baseline = value / 10.
 
-Harness notes (axon relay to the TPU):
-- The first device→host readback permanently degrades pipelined dispatch for
-  the whole process, so each phase defers ALL readbacks until after its timed
-  region.
-- Sustained h2d streaming degrades a relay CONNECTION after ~400 MB
-  cumulative transfer (measured: 1800 → 300 scans/s over 6 consecutive
-  240-scan runs). A fresh process gets a fresh connection, so each phase runs
-  in its own subprocess and this parent only combines their JSON.
+Measurement design (round 3) — derived from dedicated relay probes:
+
+The axon relay to the TPU has TWO regimes, and only one of them can be
+trusted for timing:
+
+1. CLEAN mode (no device->host readback yet): dispatch returns are nearly
+   free and `block_until_ready` RETURNS EARLY — a 119-scan feed "completes"
+   in 66 ms (8 us/scan, physically impossible) and the first real readback
+   then drains 50-700 s (measured 324 s). Every clean-mode rate is a
+   dispatch-rate mirage; r01's 514 scans/s and the r02 README's ~3100
+   scans/s were this artifact.
+2. POST-READBACK mode (after the process's first d2h): readbacks cost
+   ~25-30 ms, `block_until_ready` is truthful, and rates are stable across
+   reps (measured spread < 10%). The first readback itself stalls 30-260 s
+   even on a COMPLETELY EMPTY queue (fresh process, one tiny h2d, nothing
+   else queued) — it is a per-connection relay artifact, independent of our
+   workload.
+
+So every TPU phase here PAYS THE FIRST READBACK UP FRONT on an empty queue
+(a tiny h2d/d2h probe, timed and recorded in `extra` as
+`relay_first_readback_s`) and then measures in the trustworthy regime:
+every timed region ends with an actual device->host readback (forced
+completion), reps are reported individually, and the headline is a median.
+
+Workloads cycle a CLOSED lap (sim.closed_lap_trajectory): scan N-1 sits one
+step before scan 0, so replaying the lap back-to-back gives an arbitrarily
+long, pose-continuous stream from a bounded scan set.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -29,17 +48,31 @@ import time
 import numpy as np
 
 CHUNK = 16  # 8 MB/transfer; >8 MB transfers degrade the relay immediately
+KITTI00_GT = "/root/reference/kitti_ground_truth_tum/00.txt"
 
 
-def _sim_setup():
-    from xchu_slam_tpu.utils import sim
+def pay_first_readback() -> dict:
+    """Pay the process's first device->host readback on an EMPTY queue and
+    time it. Must be called before any other device work so the stall is
+    attributed to the relay connection, not blended into a timed region."""
+    import jax
 
-    world = sim.make_world(7, extent=120.0, ground_pts=150_000)
-    return world
+    t0 = time.perf_counter()
+    x = jax.block_until_ready(jax.device_put(np.ones(8, np.float32)))
+    t1 = time.perf_counter()
+    _ = np.asarray(x)
+    t2 = time.perf_counter()
+    out = {"h2d_ms": round(1e3 * (t1 - t0), 1),
+           "relay_first_readback_s": round(t2 - t1, 1)}
+    print(f"first readback (empty queue): {out['relay_first_readback_s']} s",
+          file=sys.stderr)
+    return out
 
 
 def phase1():
-    """NDT odometry (filter → align → localmap update), chunked streaming."""
+    """NDT odometry (filter -> align -> localmap update): sustained
+    forced-completion rate over 3 laps of a 608-scan closed circuit, streamed
+    (h2d in the loop) and device-resident (pre-staged), 3 reps each."""
     import jax
     import jax.numpy as jnp
 
@@ -51,6 +84,8 @@ def phase1():
     from xchu_slam_tpu.types import make_cloud
     from xchu_slam_tpu.utils import metrics, se3, sim
 
+    probe = pay_first_readback()
+
     fcfg = FilterConfig(max_raw_points=32768, max_points=16384,
                         outlier_method="radius")  # scans are 24k pts
     ospec = odometry.OdomSpec(
@@ -61,89 +96,102 @@ def phase1():
         max_localmap_size=5.0,
         recentre_margin=20.0,
     )
-    n_scans = 120
-    world = _sim_setup()
-    gt = sim.loop_trajectory(n_scans=400, radius=60.0, speed=1.0)[:n_scans]
+    LAP = 608            # 38 chunks of 16 exactly
+    LAPS = 3
+    n_scans = LAP * LAPS
+    world = sim.make_world(7, extent=120.0, ground_pts=150_000)
+    gt = sim.closed_lap_trajectory(n_scans=LAP, radius=85.0)
     rng = np.random.default_rng(7)
+    print("rendering lap...", file=sys.stderr)
     scans = [sim.render_scan(world, p, rng, n_points=24_000) for p in gt]
 
-    # warmup: compile the chunked program (lax.scan of filter+odometry over a
-    # staged 16-scan chunk — ONE h2d transfer + ONE dispatch per chunk; the
-    # relay link costs ~0.3 ms fixed latency per transfer, which bounds
-    # per-scan staging at ~1.2k scans/s while the device sustains ~12k)
     xyz0, int0 = scans[0]
     cl0 = make_cloud(xyz0, int0, capacity=fcfg.max_raw_points)
-    filt = filter_scan(cl0, fcfg)
-    state = odometry.init_state(ospec, jnp.zeros(6), filt.xyz, filt.mask)
-    pfw = DeviceChunkPrefetcher(scans[1:CHUNK + 1], capacity=fcfg.max_raw_points,
+
+    def fresh_state():
+        filt = filter_scan(cl0, fcfg)
+        return odometry.init_state(ospec, jnp.zeros(6), filt.xyz, filt.mask)
+
+    # warm compile + stage the lap on device (reused by the device-resident
+    # reps; 38 chunks x 8 MB = 300 MB HBM)
+    staged = []
+    state = fresh_state()
+    pfw = DeviceChunkPrefetcher(scans, capacity=fcfg.max_raw_points,
                                 chunk=CHUNK, depth=2, threads=2)
-    for clouds_w, _n in pfw:
-        state, out_w = odometry.chunk_step(state, clouds_w, fcfg, ospec)
+    for clouds, _n in pfw:
+        staged.append(clouds)
+        state, out_w = odometry.chunk_step(state, clouds, fcfg, ospec)
     jax.block_until_ready(out_w.pose)
 
-    # VERIFIED rep runs FIRST, on a clean queue: the timed region ends
-    # with an actual device→host readback of the final pose — forced
-    # completion, so the rate cannot be inflated by work still queued behind
-    # a returned block_until_ready (measured: block can return ~27000×
-    # early on this relay). Shallow periodic soft-drains (every 4 chunks,
-    # the engine's production sync_every) keep the final drain off the
-    # pathological deep-backlog path (PERF.md "relay pathologies"). Running
-    # first matters twice over: the first readback both permanently degrades
-    # pipelined dispatch AND pays a drain stall proportional to the
-    # undrained backlog behind it.
-    pf = DeviceChunkPrefetcher(scans[1:], capacity=fcfg.max_raw_points,
-                               chunk=CHUNK, depth=2, threads=2)
-    filt = filter_scan(cl0, fcfg)
-    state = odometry.init_state(ospec, jnp.zeros(6), filt.xyz, filt.mask)
-    t0 = time.perf_counter()
-    chunk_poses = []
-    for clouds, n_real in pf:
-        state, outs = odometry.chunk_step(state, clouds, fcfg, ospec)
-        chunk_poses.append((outs.pose, n_real))
-        if len(chunk_poses) % 4 == 0:
-            jax.block_until_ready(outs.pose)
-    _ = np.asarray(chunk_poses[-1][0])           # forced completion
-    verified_rate = (n_scans - 1) / (time.perf_counter() - t0)
-    print(f"verified {verified_rate:.1f} scans/s", file=sys.stderr)
-    med_rate = float(verified_rate)
-
-    # pipelined dispatch reps (block-terminated; post-readback mode) — the
-    # upper envelope the relay sustains when nothing forces completion
-    rep_rates = []
-    for _rep in range(3):
-        pf = DeviceChunkPrefetcher(scans[1:], capacity=fcfg.max_raw_points,
+    def run_streamed():
+        """Feed LAPS laps through the prefetcher (fresh h2d per chunk),
+        soft-sync every 4 chunks, end with a real readback."""
+        pf = DeviceChunkPrefetcher(scans * LAPS, capacity=fcfg.max_raw_points,
                                    chunk=CHUNK, depth=2, threads=2)
-        filt = filter_scan(cl0, fcfg)
-        state = odometry.init_state(ospec, jnp.zeros(6), filt.xyz, filt.mask)
+        state = fresh_state()
         t0 = time.perf_counter()
-        chunk_poses_p = []
-        for clouds, n_real in pf:
+        poses = []
+        n = 0
+        for clouds, _n_real in pf:
             state, outs = odometry.chunk_step(state, clouds, fcfg, ospec)
-            chunk_poses_p.append((outs.pose, n_real))
-        _ = np.asarray(chunk_poses_p[-1][0])     # drain between reps
-        rep_dt = time.perf_counter() - t0
-        rep_rates.append((n_scans - 1) / rep_dt)
-        print(f"rep {rep_rates[-1]:.1f} scans/s (readback-terminated)",
-              file=sys.stderr)
+            poses.append(outs.pose)
+            n += 1
+            if n % 4 == 0:
+                jax.block_until_ready(outs.pose)
+        last = np.asarray(poses[-1])              # forced completion
+        dt = time.perf_counter() - t0
+        return n_scans / dt, poses
 
-    # readbacks (end of the timed region)
+    def run_device_resident():
+        """Same programs over the pre-staged chunks: zero h2d in the timed
+        region — the chip+dispatch rate with ingest removed."""
+        state = fresh_state()
+        t0 = time.perf_counter()
+        outs = None
+        n = 0
+        for _ in range(LAPS):
+            for clouds in staged:
+                state, outs = odometry.chunk_step(state, clouds, fcfg, ospec)
+                n += 1
+                if n % 4 == 0:
+                    jax.block_until_ready(outs.pose)
+        _ = np.asarray(outs.pose)                 # forced completion
+        return n_scans / (time.perf_counter() - t0)
+
+    stream_rates, poses = [], None
+    for rep in range(3):
+        r, poses = run_streamed()
+        stream_rates.append(r)
+        print(f"streamed rep{rep}: {r:.1f} scans/s", file=sys.stderr)
+    dev_rates = []
+    for rep in range(3):
+        r = run_device_resident()
+        dev_rates.append(r)
+        print(f"device-resident rep{rep}: {r:.1f} scans/s", file=sys.stderr)
+
+    # accuracy over the 3-lap stream (readbacks are cheap now)
     gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
     gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)[:, :3, 3]
-    est = np.vstack([np.zeros((1, 6), np.float32)]
-                    + [np.asarray(p)[:n] for p, n in chunk_poses])
-    ate = metrics.ape_rmse(est[:, :3], gt_rel[:len(est)], align=False)
+    gt3 = np.concatenate([gt_rel] * LAPS, axis=0)
+    est = np.concatenate([np.asarray(p) for p in poses], axis=0)
+    ate = metrics.ape_rmse(est[:, :3], gt3[:len(est)], align=False)
+
     print(json.dumps({
-        "scans_per_sec": round(med_rate, 2),
-        "rep_scans_per_sec_post_readback": [round(r, 1) for r in rep_rates],
+        "scans_per_sec": round(float(np.median(stream_rates)), 2),
+        "rep_scans_per_sec": [round(r, 1) for r in stream_rates],
+        "device_resident_scans_per_sec": round(float(np.median(dev_rates)), 2),
+        "rep_device_resident": [round(r, 1) for r in dev_rates],
         "ate_m": round(float(ate), 4),
         "n_scans": n_scans,
+        "relay_probe": probe,
         "backend": jax.devices()[0].platform,
     }))
 
 
 def phase2():
-    """FULL pipeline (filter→odom→SC loops→ICP→PGO) on a closed circuit with
-    genuine revisits, as chunked on-device programs (models/device_pipeline)."""
+    """FULL pipeline (filter->odom->SC loops->ICP->PGO): 3 laps of a 240-scan
+    closed circuit (laps 2-3 revisit lap 1 everywhere -> genuine loop load),
+    forced-completion rate, 2 reps, + accuracy/loop stats."""
     import jax
     import jax.numpy as jnp
 
@@ -151,6 +199,8 @@ def phase2():
     from xchu_slam_tpu.io.prefetch import DeviceChunkPrefetcher
     from xchu_slam_tpu.models.device_pipeline import DeviceSlamPipeline
     from xchu_slam_tpu.utils import metrics, se3, sim
+
+    probe = pay_first_readback()
 
     cfg = default_config().override({
         "filter.max_raw_points": 32768,
@@ -160,90 +210,132 @@ def phase2():
         "loop.icp_fitness_thresh": 1.5,  # synthetic clouds are ~10x sparser than KITTI
         "loop.submap_half_width": 10,
     })
-    n_full = 240  # perimeter(30) ≈ 211 m → wraps ~30 m past the start
-    world = _sim_setup()
-    gt2 = sim.loop_trajectory(n_scans=n_full, radius=30.0, speed=1.0)
+    LAP = 240            # 15 chunks of 16 exactly
+    LAPS = 3
+    n_scans = LAP * LAPS
+    world = sim.make_world(7, extent=120.0, ground_pts=150_000)
+    gt = sim.closed_lap_trajectory(n_scans=LAP, radius=30.0)
     rng2 = np.random.default_rng(11)
-    full_scans = [sim.render_scan(world, p, rng2, n_points=24_000) for p in gt2]
+    print("rendering lap...", file=sys.stderr)
+    scans = [sim.render_scan(world, p, rng2, n_points=24_000) for p in gt]
+    # 1 s inter-scan spacing so revisited laps clear the radius/SC gating
+    # scales; keyframe density is distance-gated, unaffected by stamps
+    all_stamps = 1.0 * np.arange(n_scans, dtype=np.float32)
 
     # warm the compile cache on a throwaway pipeline (same static shapes);
-    # lax.cond compiles every branch, so one chunk covers the whole program.
-    # sync_every=0: the per-chunk drain protects LONG runs' finalize stall
-    # (see PERF.md) but serializes transfer/compute overlap — for a 240-scan
-    # burst the pure pipelined rate is the honest steady-state number.
+    # lax.cond compiles every branch, so one chunk covers the whole program
     warm = DeviceSlamPipeline(cfg, kf_points=4096, sync_every=0)
-    pfw = DeviceChunkPrefetcher(full_scans[:CHUNK],
+    pfw = DeviceChunkPrefetcher(scans[:CHUNK],
                                 capacity=cfg.filter.max_raw_points,
                                 chunk=CHUNK, depth=2, threads=2)
     for clouds, n_real in pfw:
-        warm.process_chunk(clouds, 0.1 * np.arange(CHUNK, dtype=np.float32),
-                           n_real)
+        warm.process_chunk(clouds, all_stamps[:CHUNK], n_real)
     jax.block_until_ready(warm.state.log)
+    del warm
 
-    # VERIFIED rep FIRST (see phase1): clean queue, production sync
-    # cadence (sync_every=4), timed region ends with a scalar readback —
-    # forced completion, immune to block_until_ready returning early
-    pipe = DeviceSlamPipeline(cfg, kf_points=4096, sync_every=4)
-    pf2 = DeviceChunkPrefetcher(full_scans,
-                                capacity=cfg.filter.max_raw_points,
-                                chunk=CHUNK, depth=2, threads=2)
-    t1 = time.perf_counter()
-    base = 0
-    for clouds, n_real in pf2:
-        stamps = 0.1 * (base + np.arange(clouds.xyz.shape[0]))
-        pipe.process_chunk(clouds, stamps, n_real)
-        base += n_real
-    _ = int(np.asarray(pipe.state.scan_count))   # forced completion
-    verified_rate = n_full / (time.perf_counter() - t1)
-    print(f"verified {verified_rate:.1f} scans/s (full)", file=sys.stderr)
-
-    # pipelined dispatch reps (post-readback mode), drained between reps
-    rep_rates = []
-    for _rep in range(2):
-        pipe = DeviceSlamPipeline(cfg, kf_points=4096, sync_every=0)
-        pf2 = DeviceChunkPrefetcher(full_scans,
-                                    capacity=cfg.filter.max_raw_points,
-                                    chunk=CHUNK, depth=2, threads=2)
-        t1 = time.perf_counter()
+    def run():
+        pipe = DeviceSlamPipeline(cfg, kf_points=4096, sync_every=4)
+        pf = DeviceChunkPrefetcher(scans * LAPS,
+                                   capacity=cfg.filter.max_raw_points,
+                                   chunk=CHUNK, depth=2, threads=2)
+        t0 = time.perf_counter()
         base = 0
-        for clouds, n_real in pf2:
-            stamps = 0.1 * (base + np.arange(clouds.xyz.shape[0]))
-            pipe.process_chunk(clouds, stamps, n_real)
+        for clouds, n_real in pf:
+            pipe.process_chunk(clouds, all_stamps[base:base + CHUNK], n_real)
             base += n_real
-        _ = int(np.asarray(pipe.state.scan_count))  # drain between reps
-        rep_dt = time.perf_counter() - t1
-        rep_rates.append(n_full / rep_dt)
-        print(f"rep {rep_rates[-1]:.1f} scans/s (full, readback-terminated)",
-              file=sys.stderr)
+        _ = int(np.asarray(pipe.state.scan_count))   # forced completion
+        rate = n_scans / (time.perf_counter() - t0)
+        return rate, pipe
 
-    # readbacks (end of the timed region)
+    rates, pipe = [], None
+    for rep in range(2):
+        r, pipe = run()
+        rates.append(r)
+        print(f"full rep{rep}: {r:.1f} scans/s", file=sys.stderr)
+
+    t_fin = time.perf_counter()
     pipe.finalize()
-    gtT2 = np.asarray(se3.pose_to_matrix(jnp.asarray(gt2)))
-    gt2_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT2[0]), gtT2)[:, :3, 3]
+    fin_s = time.perf_counter() - t_fin
+    gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
+    gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)[:, :3, 3]
+    gt3 = np.concatenate([gt_rel] * LAPS, axis=0)
     stamps, _kf_odo, kf_opt = pipe.keyframe_trajectory()
-    idx = np.round(stamps / 0.1).astype(int)
-    ate_full = metrics.ape_rmse(kf_opt[:, :3], gt2_rel[idx], align=False)
+    idx = np.round(stamps / 1.0).astype(int)
+    ate_full = metrics.ape_rmse(kf_opt[:, :3], gt3[idx], align=False)
     print(json.dumps({
-        "scans": n_full,
-        "scans_per_sec": round(float(verified_rate), 2),
-        "rep_scans_per_sec_post_readback": [round(r, 1) for r in rep_rates],
-        "keyframes": int(pipe.db.count),
+        "scans": n_scans,
+        "scans_per_sec": round(float(np.median(rates)), 2),
+        "rep_scans_per_sec": [round(r, 1) for r in rates],
+        "keyframes": int(pipe.kf_count),
         "loops": pipe.loop_count,
         "ate_m": round(float(ate_full), 4),
+        "finalize_s": round(fin_s, 1),
+        "relay_probe": probe,
     }))
 
 
-def phase4():
-    """Mesh-engine scaling ladder on the virtual CPU mesh (the image exposes
-    ONE TPU chip, so multi-device wall-clock is measured on virtual devices —
-    the same substrate the equivalence tests run on).
+def phase3():
+    """KITTI-00 accuracy benchmark: the FULL 4541-scan sequence, SLAM along
+    the real seq-00 GT trajectory (simulated corridor world — the image ships
+    GT but no velodyne data). Exercises the whole loop chain: SC retrieval ->
+    ICP verify -> Cauchy-robust PGO. Reports evo-convention aligned ATE vs
+    the reference's published 1.61 m (BASELINE.md)."""
+    import contextlib
+    import io
 
-    WEAK scaling: per-device NDT work held constant (scan size ∝ N) while the
-    DB-sharded retrieval / factor-sharded PGO per-device work SHRINKS with N.
-    Host caveat recorded in the output: this container has `os.cpu_count()`
-    cores — N beyond that time-slices cores, so those rows measure correctness
-    + collective overhead, not speedup. Efficiency vs the ≥80 % BASELINE
-    target is eff(N) = t_step(1)/t_step(N) with N× work per step."""
+    from xchu_slam_tpu.cli import main as cli_main
+
+    probe = pay_first_readback()
+
+    t0 = time.perf_counter()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main(["run-sim", "--trajectory", KITTI00_GT, "--scans", "4541",
+                  "--engine", "device", "--out", "out/bench_kitti00"])
+    s = json.loads(buf.getvalue())
+    print(json.dumps({
+        "scans": s["scans"], "keyframes": s["keyframes"], "loops": s["loops"],
+        "ate_rmse_m": s["ate_rmse_m"], "rpe_rmse_m": s["rpe_rmse_m"],
+        "drift_pct": s["drift_pct"],
+        "stream_scans_per_sec": s.get("stream_scans_per_sec"),
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "relay_probe": probe,
+    }))
+
+
+def _collective_stats(hlo_text: str) -> dict:
+    """Count collectives + their result bytes in compiled HLO text —
+    host-independent evidence of per-step communication volume."""
+    dt_size = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
+               "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+               "pred": 1}
+    ops: dict[str, int] = {}
+    total_bytes = 0
+    line_pat = re.compile(
+        r"=\s+(.*?)\s+(all-reduce|all-gather|reduce-scatter|"
+        r"collective-permute|all-to-all)(-start)?\(")
+    shape_pat = re.compile(r"(\w+)\[([0-9,]*)\]")
+    for m in line_pat.finditer(hlo_text):
+        result_ty, op, _ = m.groups()
+        ops[op] = ops.get(op, 0) + 1
+        for dt, shape in shape_pat.findall(result_ty):
+            n = 1
+            for d in shape.split(","):
+                if d:
+                    n *= int(d)
+            total_bytes += n * dt_size.get(dt, 4)
+    return {"ops": ops, "result_bytes": total_bytes}
+
+
+def phase4():
+    """Mesh-engine scaling on the virtual CPU mesh. Two kinds of evidence:
+
+    (1) host-independent: collective op counts + result bytes per engine step
+        from the COMPILED HLO at each mesh size — the communication volume a
+        real ICI fabric would carry (statically knowable, no wall clock);
+    (2) wall-clock weak-scaling ladder, with the host-core caveat recorded:
+        this container has os.cpu_count() cores, so rows with devices >
+        cores time-slice and measure correctness + overhead, not speedup."""
     import os as _os
 
     _os.environ["JAX_PLATFORMS"] = "cpu"
@@ -284,6 +376,19 @@ def phase4():
         for i, cl in enumerate(clouds[:4]):     # warm/compile
             pipe.process_scan(cl, stamp=0.1 * i)
         jax.block_until_ready(pipe.state.log)
+
+        # (1) collective inventory from the compiled step HLO
+        coll = None
+        if mesh is not None:
+            try:
+                lowered = pipe._mesh_step.lower(
+                    pipe.state, pipe._replicate(clouds[4]), jnp.float32(0.4),
+                    jnp.float32(0.0), jnp.bool_(False))
+                coll = _collective_stats(lowered.compile().as_text())
+            except Exception as e:  # pragma: no cover
+                coll = {"error": str(e)[:120]}
+
+        # (2) wall clock
         t0 = time.perf_counter()
         for i, cl in enumerate(clouds[4:]):
             pipe.process_scan(cl, stamp=0.1 * (4 + i))
@@ -291,9 +396,10 @@ def phase4():
         dt = time.perf_counter() - t0
         per_step_ms = 1e3 * dt / len(clouds[4:])
         rows.append({"devices": n_dev, "points_per_scan": pts,
-                     "step_ms": round(per_step_ms, 2)})
-        print(f"N={n_dev}: {per_step_ms:.1f} ms/step ({pts} pts)",
-              file=sys.stderr)
+                     "step_ms": round(per_step_ms, 2),
+                     "collectives_per_step": coll})
+        print(f"N={n_dev}: {per_step_ms:.1f} ms/step ({pts} pts) "
+              f"coll={coll}", file=sys.stderr)
     base = rows[0]["step_ms"]
     for r in rows:
         r["weak_efficiency"] = round(base / r["step_ms"], 3)
@@ -301,9 +407,10 @@ def phase4():
 
 
 def phase5():
-    """Single-chip SPMD overhead on the real backend: the mesh(1) engine
-    (shard_map-wrapped step with degenerate collectives) vs the plain engine,
-    same scans — the cost of adopting the multi-chip program shape."""
+    """Single-chip SPMD overhead on the real backend: mesh(1) engine
+    (shard_map-wrapped step, degenerate collectives) vs the plain engine —
+    IDENTICAL timing discipline for both (post-first-readback regime,
+    per-scan feed, sync every 4 scans, forced completion), 3 reps each."""
     import jax
 
     from xchu_slam_tpu.config import default_config
@@ -312,74 +419,53 @@ def phase5():
     from xchu_slam_tpu.types import make_cloud
     from xchu_slam_tpu.utils import sim
 
+    probe = pay_first_readback()
+
     cfg = default_config().override({
         "filter.max_raw_points": 32768, "filter.max_points": 16384,
         "ndt.grid_x": 80, "ndt.grid_y": 80, "ndt.grid_z": 24,
     })
-    world = _sim_setup()
+    world = sim.make_world(7, extent=120.0, ground_pts=150_000)
     gt = sim.loop_trajectory(n_scans=64, radius=30.0, speed=1.0)
     rng = np.random.default_rng(5)
     clouds = [make_cloud(*sim.render_scan(world, p, rng, n_points=24_000),
                          capacity=32768) for p in gt]
 
-    out = {}
+    out = {"backend": jax.devices()[0].platform, "relay_probe": probe}
     for name, mesh in (("plain", None), ("mesh1", sharded.make_mesh(1))):
-        pipe = DeviceSlamPipeline(cfg, kf_points=4096, log_capacity=64,
+        pipe = DeviceSlamPipeline(cfg, kf_points=4096, log_capacity=256,
                                   sync_every=0, mesh=mesh)
-        for i, cl in enumerate(clouds[:8]):
+        for i, cl in enumerate(clouds[:8]):     # warm/compile
             pipe.process_scan(cl, stamp=0.1 * i)
-        jax.block_until_ready(pipe.state.log)
-        t0 = time.perf_counter()
-        for i, cl in enumerate(clouds[8:]):
-            pipe.process_scan(cl, stamp=0.1 * (8 + i))
-        _ = int(np.asarray(pipe.state.scan_count))   # forced completion
-        dt = time.perf_counter() - t0
-        out[name + "_step_ms"] = round(1e3 * dt / len(clouds[8:]), 2)
+        _ = np.asarray(pipe.state.scan_count)   # settle
+        reps = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            for i, cl in enumerate(clouds[8:]):
+                pipe.process_scan(cl, stamp=0.1 * (8 + 56 * rep + i))
+                if (i + 1) % 4 == 0:
+                    jax.block_until_ready(pipe.state.log)
+            _ = int(np.asarray(pipe.state.scan_count))   # forced completion
+            reps.append(1e3 * (time.perf_counter() - t0) / len(clouds[8:]))
+        out[name + "_step_ms"] = round(float(np.median(reps)), 2)
+        out[name + "_rep_step_ms"] = [round(r, 1) for r in reps]
+        print(f"{name}: {out[name + '_step_ms']} ms/step (reps {reps})",
+              file=sys.stderr)
     out["overhead_pct"] = round(
         100.0 * (out["mesh1_step_ms"] / out["plain_step_ms"] - 1.0), 1)
-    out["backend"] = jax.devices()[0].platform
     print(json.dumps(out))
-
-
-KITTI00_GT = "/root/reference/kitti_ground_truth_tum/00.txt"
-
-
-def phase3():
-    """KITTI-00 accuracy benchmark: SLAM along the real seq-00 trajectory
-    (simulated corridor world — the image ships GT but no velodyne data).
-    1800 scans cover the sequence's FIRST genuine revisit (scan ~1398 returns
-    to scan ~588's street, computed from the GT file), so the recorded
-    artifact exercises the whole loop chain: SC retrieval → ICP verify →
-    Cauchy-robust PGO. Reports evo-convention aligned ATE vs the reference's
-    published 1.61 m (BASELINE.md) plus the sustained streaming rate."""
-    import contextlib
-    import io
-
-    from xchu_slam_tpu.cli import main as cli_main
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        cli_main(["run-sim", "--trajectory", KITTI00_GT, "--scans", "1800",
-                  "--engine", "device", "--out", "out/bench_kitti00"])
-    s = json.loads(buf.getvalue())
-    print(json.dumps({
-        "scans": s["scans"], "keyframes": s["keyframes"], "loops": s["loops"],
-        "ate_rmse_m": s["ate_rmse_m"], "rpe_rmse_m": s["rpe_rmse_m"],
-        "drift_pct": s["drift_pct"],
-        "stream_scans_per_sec": s.get("stream_scans_per_sec"),
-    }))
 
 
 def _run_phase(name: str) -> dict:
     """Run one phase in a subprocess (fresh relay connection) and parse its
     final JSON line. Falls back to in-process execution if spawning fails."""
+    timeouts = {"phase1": 2400, "phase2": 2400, "phase3": 5400,
+                "phase4": 1800, "phase5": 1800}
     try:
-        # phase3 gets extra headroom: the relay's finalize readback stall is
-        # erratic (150 s typical, worse tails measured; PERF.md)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), name],
             capture_output=True, text=True,
-            timeout=2700 if name == "phase3" else 1800,
+            timeout=timeouts.get(name, 1800),
             cwd=os.path.dirname(os.path.abspath(__file__)))
         sys.stderr.write(proc.stderr[-2000:])
         line = [l for l in proc.stdout.strip().splitlines()
@@ -409,9 +495,7 @@ def main():
     r1 = _run_phase("phase1")
     r2 = _run_phase("phase2")
     extra = {
-        "odometry_ate_m": r1["ate_m"],
-        "n_scans": r1["n_scans"],
-        "backend": r1["backend"],
+        "odometry": r1,
         "full_pipeline": r2,
     }
     for name, key in (("phase4", "mesh_scaling_cpu"),

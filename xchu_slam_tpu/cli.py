@@ -430,6 +430,70 @@ def cmd_run_kitti(args):
     print(json.dumps(summary, indent=2))
 
 
+def cmd_localize(args):
+    """Multi-session place recognition: localize fresh scans against a saved
+    session's keyframe database (beyond reference parity — the reference
+    ships `detectLoopClosureIDBetweenSession`, Scancontext.cpp:267-328, as an
+    uncalled library capability only)."""
+    from xchu_slam_tpu.models.relocalize import localizer_from_checkpoint
+    from xchu_slam_tpu.utils import se3, sim
+    import jax.numpy as jnp
+
+    loc = localizer_from_checkpoint(args.session)
+    if args.fitness_thresh is not None:
+        # ICP fitness is density-dependent (see cmd_run_sim notes); the
+        # verification gate for single-scan-vs-submap refinement may need a
+        # looser setting than the session's in-run loop gate
+        loc.cfg = loc.cfg.override(
+            {"loop.icp_fitness_thresh": args.fitness_thresh})
+
+    # query scans: rendered in the SAME world the session mapped (world is a
+    # pure function of (trajectory|radius, seed) — pass the mapping run's
+    # values), with independent sensor noise (--query-seed)
+    if args.trajectory:
+        gt_stamps, gt = sim.tum_trajectory_poses(args.trajectory,
+                                                 max_scans=args.scans or None)
+        world = sim.make_world_along(gt[:, :3], args.seed)
+        index = sim.WorldIndex(world)
+    else:
+        n_scans = args.scans or 400
+        world = sim.make_world(args.seed, extent=args.radius * 2.5)
+        gt = sim.loop_trajectory(n_scans=n_scans, radius=args.radius,
+                                 speed=1.0)
+        index = None
+    # express GT in the session's map frame (odometry starts at gt[0])
+    gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
+    gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)
+
+    qi = np.linspace(0, len(gt) - 1, args.queries).round().astype(int)
+    rng = np.random.default_rng(args.query_seed)
+    rows, errs = [], []
+    for i in qi:
+        xyz, inten = sim.render_scan(world, gt[i], rng, n_points=24_000,
+                                     index=index)
+        r = loc.localize(xyz, inten)
+        row = {"query_pose_idx": int(i), "found": r.found,
+               "kf_idx": r.kf_idx, "sc_dist": round(r.sc_dist, 4),
+               "icp_fitness": round(r.icp_fitness, 4)
+               if np.isfinite(r.icp_fitness) else None}
+        if r.found:
+            err = float(np.linalg.norm(r.pose[:3] - gt_rel[i, :3, 3]))
+            row["pos_err_m"] = round(err, 3)
+            errs.append(err)
+        rows.append(row)
+    found = sum(r["found"] for r in rows)
+    out = {
+        "session": args.session,
+        "queries": len(rows),
+        "localized": found,
+        "success_rate": round(found / max(len(rows), 1), 3),
+        "mean_err_m": round(float(np.mean(errs)), 3) if errs else None,
+        "median_err_m": round(float(np.median(errs)), 3) if errs else None,
+        "results": rows,
+    }
+    print(json.dumps(out, indent=2))
+
+
 def cmd_eval(args):
     from xchu_slam_tpu.io import kitti
     from xchu_slam_tpu.utils import metrics
@@ -539,6 +603,28 @@ def main(argv=None):
                     help="scan period for KITTI-format GT (maps est stamps "
                     "to scan indices)")
     pe.set_defaults(fn=cmd_eval)
+
+    pl = sub.add_parser("localize", help="multi-session place recognition: "
+                        "localize fresh scans against a saved session's map "
+                        "(checkpoint.npz from run-sim --checkpoint-every)")
+    pl.add_argument("--session", required=True,
+                    help="checkpoint .npz of the mapped session")
+    pl.add_argument("--queries", type=int, default=12,
+                    help="number of query poses sampled along the trajectory")
+    pl.add_argument("--scans", type=int, default=0,
+                    help="trajectory length (match the mapping run)")
+    pl.add_argument("--radius", type=float, default=55.0,
+                    help="circuit radius (match the mapping run)")
+    pl.add_argument("--trajectory", default="",
+                    help="TUM GT file (match the mapping run)")
+    pl.add_argument("--seed", type=int, default=0,
+                    help="world seed (MUST match the mapping run)")
+    pl.add_argument("--query-seed", type=int, default=99,
+                    help="sensor-noise seed for the query scans")
+    pl.add_argument("--fitness-thresh", type=float, default=None,
+                    help="override the ICP verification gate (fitness is "
+                    "density-dependent; sim clouds need ~1.2-1.5)")
+    pl.set_defaults(fn=cmd_localize)
 
     pi = sub.add_parser("info", help="version / devices / config")
     pi.set_defaults(fn=cmd_info)

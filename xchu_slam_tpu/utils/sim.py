@@ -116,6 +116,22 @@ def loop_trajectory(
     return poses
 
 
+def closed_lap_trajectory(n_scans: int, radius: float = 85.0) -> np.ndarray:
+    """A closed squircle lap with EXACTLY `n_scans` uniformly spaced poses:
+    scan N-1 sits one inter-scan step before scan 0, so a rendered scan list
+    CYCLES SEAMLESSLY (bench phases replay laps back-to-back without a pose
+    discontinuity; the constant-velocity NDT guess stays valid across the
+    wrap). Spacing = perimeter / n_scans metres."""
+    dense = 20000
+    ang = np.linspace(0, 2 * np.pi, dense, endpoint=False)
+    cx = radius * np.sign(np.cos(ang)) * np.abs(np.cos(ang)) ** 0.5
+    cy = radius * np.sign(np.sin(ang)) * np.abs(np.sin(ang)) ** 0.5
+    seg = np.hypot(np.diff(cx, append=cx[:1]), np.diff(cy, append=cy[:1]))
+    perimeter = float(np.sum(seg))
+    return loop_trajectory(n_scans=n_scans, radius=radius,
+                           speed=perimeter / n_scans, closed=True)
+
+
 def _decimate_by_arclen(path_xy_or_xyz: np.ndarray, step: float) -> np.ndarray:
     """Indices of path samples ~`step` metres apart along cumulative arclength."""
     p = np.asarray(path_xy_or_xyz, np.float64)[:, :2]
