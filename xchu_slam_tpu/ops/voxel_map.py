@@ -62,9 +62,7 @@ def make_grid(spec: GridSpec, origin: jnp.ndarray) -> VoxelGrid:
     return VoxelGrid(
         origin=jnp.asarray(origin, jnp.float32),
         stats=jnp.zeros((V, 10), jnp.float32),
-        mean=jnp.zeros((V, 3), jnp.float32),
-        icov=jnp.zeros((V, 6), jnp.float32),
-        valid=jnp.zeros((V,), bool),
+        fin=jnp.zeros((V, 10), jnp.float32),
     )
 
 
@@ -142,7 +140,11 @@ def finalize(grid: VoxelGrid, spec: GridSpec) -> VoxelGrid:
     icov6 = linalg.mat_to_sym6(icov)
     icov6 = jnp.where(valid[:, None], icov6, 0.0)
     mean = jnp.where(valid[:, None], mean, 0.0)
-    return grid._replace(mean=mean, icov=icov6, valid=valid)
+    # pack [mean | icov6 | valid] into ONE table: lookup7 then needs a single
+    # gather per neighborhood fetch instead of three
+    fin = jnp.concatenate(
+        [mean, icov6, valid.astype(jnp.float32)[:, None]], -1)
+    return grid._replace(fin=fin)
 
 
 @functools.partial(jax.jit, static_argnames=("spec",), donate_argnames=("grid",))
@@ -174,9 +176,7 @@ def recentre(grid: VoxelGrid, new_centre: jnp.ndarray, spec: GridSpec) -> VoxelG
     return VoxelGrid(
         origin=new_origin,
         stats=roll3(grid.stats),
-        mean=roll3(grid.mean),
-        icov=roll3(grid.icov),
-        valid=roll3(grid.valid),
+        fin=roll3(grid.fin),
     )
 
 
@@ -207,9 +207,13 @@ def lookup7(grid: VoxelGrid, spec: GridSpec, xyz: jnp.ndarray):
     # alignment inside autodiff, so avoid materializing a copy of the grid.
     flat = (nidx3[..., 0] * spec.gy + nidx3[..., 1]) * spec.gz + nidx3[..., 2]
     flat = jnp.clip(flat, 0, spec.num_voxels - 1)
-    mean_l = grid.mean[flat]
-    icov = grid.icov[flat]
-    valid = grid.valid[flat] & inb
+    # ONE gather from the packed [mean|icov6|valid] table — the gather is the
+    # NDT hot loop's dominant cost on TPU (PERF.md MFU table); fusing the
+    # three table reads into one measured ~3× faster
+    rows = grid.fin[flat]                                      # [N,7,10]
+    mean_l = rows[..., 0:3]
+    icov = rows[..., 3:9]
+    valid = (rows[..., 9] > 0.0) & inb
     corner = grid.origin + nidx3.astype(jnp.float32) * spec.resolution
     mean_w = corner + mean_l
     return mean_w, icov, valid
