@@ -254,3 +254,24 @@ def test_cli_eval(tmp_path, rng, capsys):
           "--gt", str(tmp_path / "gt.txt")])
     out = json.loads(capsys.readouterr().out)
     assert 0.0 < out["ape_rmse_m"] < 0.2
+
+
+def test_closed_lap_trajectory_cycles_seamlessly():
+    """closed_lap_trajectory: exactly n uniformly spaced poses on a closed
+    lap, with the WRAP step (pose n-1 -> pose 0) equal to the in-lap step —
+    the property bench.py relies on to replay laps back-to-back without a
+    pose discontinuity."""
+    from xchu_slam_tpu.utils import sim
+
+    gt = sim.closed_lap_trajectory(n_scans=200, radius=40.0)
+    assert gt.shape == (200, 6)
+    xy = gt[:, :2]
+    steps = np.linalg.norm(np.diff(xy, axis=0), axis=1)
+    wrap = np.linalg.norm(xy[0] - xy[-1])
+    mean_step = steps.mean()
+    assert abs(wrap - mean_step) < 0.25 * mean_step, (wrap, mean_step)
+    assert steps.max() < 1.5 * mean_step and steps.min() > 0.5 * mean_step
+    # heading is continuous across the wrap too (mod 2pi)
+    dyaw = np.arctan2(np.sin(gt[0, 5] - gt[-1, 5]),
+                      np.cos(gt[0, 5] - gt[-1, 5]))
+    assert abs(dyaw) < 0.3
