@@ -139,15 +139,15 @@ def statistical_outlier_removal(
     global_mean + stddev_mult·global_std.
 
     The k-NN selection is a HIERARCHICAL top_k: per-segment top_k over
-    ~1k-column slices, then top_k over the merged per-segment winners —
+    ~256-column slices, then top_k over the merged per-segment winners —
     exact (the k smallest of the union of per-segment k-smallest sets are
-    the global k smallest) and measured 2.6× faster than one flat top_k
-    over the full row on TPU (233 → 91 ms at 16k points; XLA's top_k cost
-    grows superlinearly in row length)."""
+    the global k smallest) and measured 3.2× faster than one flat top_k
+    over the full row on TPU (233 → 73 ms at 16k points, 58 → 32 ms at
+    8k; XLA's top_k cost grows superlinearly in row length)."""
 
     def reducer(d2, rows_mask, i0):
         C, ncol = d2.shape
-        segs = max(1, ncol // 1024)
+        segs = max(1, ncol // 256)
         while ncol % segs:
             segs -= 1
         if segs > 1 and ncol // segs > k + 1:
