@@ -248,7 +248,7 @@ def phase2():
         return rate, pipe
 
     rates, pipe = [], None
-    for rep in range(2):
+    for rep in range(3):
         r, pipe = run()
         rates.append(r)
         print(f"full rep{rep}: {r:.1f} scans/s", file=sys.stderr)

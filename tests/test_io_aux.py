@@ -275,3 +275,50 @@ def test_closed_lap_trajectory_cycles_seamlessly():
     dyaw = np.arctan2(np.sin(gt[0, 5] - gt[-1, 5]),
                       np.cos(gt[0, 5] - gt[-1, 5]))
     assert abs(dyaw) < 0.3
+
+
+def test_checkpoint_legacy_layout_migrates(tiny_dev_pipe, tmp_path):
+    """Checkpoints saved before the packed-fin VoxelGrid layout (separate
+    mean/icov/valid tables, no DevState.last_stamp) must still load: the old
+    fields are exactly reconstructible into fin, and last_stamp defaults to
+    0. Unknown missing keys must raise a CLEAR error, not a KeyError."""
+    import numpy as np
+    import pytest
+
+    from xchu_slam_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    pipe, _scans = tiny_dev_pipe
+    path = tmp_path / "new.npz"
+    save_checkpoint(pipe, str(path))
+
+    data = dict(np.load(str(path)).items())
+    legacy = {}
+    for k, v in data.items():
+        if k.endswith(".fin"):
+            p = k[: -len(".fin")]
+            legacy[f"{p}.mean"] = v[:, 0:3]
+            legacy[f"{p}.icov"] = v[:, 3:9]
+            legacy[f"{p}.valid"] = v[:, 9] > 0.0
+        elif k == "state.last_stamp":
+            pass
+        else:
+            legacy[k] = v
+    legacy_path = tmp_path / "legacy.npz"
+    np.savez_compressed(str(legacy_path), **legacy)
+
+    restored = load_checkpoint(str(legacy_path))
+    ref = load_checkpoint(str(path))
+    np.testing.assert_array_equal(
+        np.asarray(restored.state.odom.grid_a.fin),
+        np.asarray(ref.state.odom.grid_a.fin))
+    np.testing.assert_array_equal(np.asarray(restored.state.db.poses),
+                                  np.asarray(ref.state.db.poses))
+    assert float(restored.state.last_stamp) == 0.0
+
+    # truly incompatible checkpoint → clear error naming the missing key
+    broken = {k: v for k, v in legacy.items()
+              if not k.startswith("state.db.poses")}
+    broken_path = tmp_path / "broken.npz"
+    np.savez_compressed(str(broken_path), **broken)
+    with pytest.raises(ValueError, match="incompatible"):
+        load_checkpoint(str(broken_path))

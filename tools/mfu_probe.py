@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
+from bench import pay_first_readback
 from xchu_slam_tpu.config import FilterConfig, default_config
 from xchu_slam_tpu.models import odometry, pose_graph as pg
 from xchu_slam_tpu.ops import ndt, ndt_deriv, scancontext as sc, voxel_map as vm
@@ -44,13 +45,6 @@ PEAK_F32_MXU = 49e12
 PEAK_BF16_MXU = 197e12
 PEAK_HBM = 819e9
 PEAK_VPU = 3.6e12
-
-
-def pay_first_readback():
-    t0 = time.perf_counter()
-    x = jax.block_until_ready(jax.device_put(np.ones(8, np.float32)))
-    _ = np.asarray(x)
-    print(f"[first readback] {time.perf_counter()-t0:.1f} s", flush=True)
 
 
 def timed(fn, k=100):
@@ -75,7 +69,7 @@ def cost(jitted, *args):
         return {"flops": 0.0, "bytes": 0.0, "error": str(e)[:100]}
 
 
-def row(name, dt, ca, bound_peak=PEAK_HBM, note=""):
+def row(name, dt, ca, note=""):
     fl, by = ca.get("flops", 0.0), ca.get("bytes", 0.0)
     r = {
         "kernel": name, "time_ms": round(1e3 * dt, 3),

@@ -78,20 +78,7 @@ def cmd_run_sim(args):
     cfg = _apply_overrides(cfg, args.set)
     timers = StageTimers()
 
-    if args.trajectory:
-        # simulate along a real ground-truth trajectory (TUM camera-frame
-        # file, e.g. KITTI 00) — real street/loop geometry, corridor world
-        gt_stamps, gt = sim.tum_trajectory_poses(args.trajectory,
-                                                 max_scans=args.scans)
-        world = sim.make_world_along(gt[:, :3], args.seed)
-        index = sim.WorldIndex(world)
-    else:
-        n_scans = args.scans or 400
-        world = sim.make_world(args.seed, extent=args.radius * 2.5)
-        gt = sim.loop_trajectory(n_scans=n_scans, radius=args.radius,
-                                 speed=1.0)
-        gt_stamps = 0.1 * np.arange(n_scans)
-        index = None
+    gt_stamps, gt, world, index = _sim_world_and_traj(args)
     rng = np.random.default_rng(args.seed)
     n_scans = len(gt)
     sensor_windows = None
@@ -221,6 +208,32 @@ def cmd_run_sim(args):
               f"last-quarter={1e3 * dt[-q:].mean():.1f} "
               f"p50={1e3 * np.median(dt):.1f} p95={1e3 * np.quantile(dt, .95):.1f}",
               file=sys.stderr)
+
+
+def _sim_world_and_traj(args):
+    """World + trajectory reconstruction shared by run-sim and localize.
+
+    Deliberately the ONLY place this setup lives: `localize` is correct
+    only if its reconstructed world is bit-identical to the mapping run's
+    (the world is a pure function of (trajectory|radius, seed)); a shared
+    helper makes that invariant structural instead of copy-paste."""
+    from xchu_slam_tpu.utils import sim
+
+    if args.trajectory:
+        # simulate along a real ground-truth trajectory (TUM camera-frame
+        # file, e.g. KITTI 00) — real street/loop geometry, corridor world
+        gt_stamps, gt = sim.tum_trajectory_poses(args.trajectory,
+                                                 max_scans=args.scans)
+        world = sim.make_world_along(gt[:, :3], args.seed)
+        index = sim.WorldIndex(world)
+    else:
+        n_scans = args.scans or 400
+        world = sim.make_world(args.seed, extent=args.radius * 2.5)
+        gt = sim.loop_trajectory(n_scans=n_scans, radius=args.radius,
+                                 speed=1.0)
+        gt_stamps = 0.1 * np.arange(n_scans)
+        index = None
+    return gt_stamps, gt, world, index
 
 
 def _sim_sensor_windows(cfg, gt, gt_stamps, rng):
@@ -447,20 +460,9 @@ def cmd_localize(args):
         loc.cfg = loc.cfg.override(
             {"loop.icp_fitness_thresh": args.fitness_thresh})
 
-    # query scans: rendered in the SAME world the session mapped (world is a
-    # pure function of (trajectory|radius, seed) — pass the mapping run's
-    # values), with independent sensor noise (--query-seed)
-    if args.trajectory:
-        gt_stamps, gt = sim.tum_trajectory_poses(args.trajectory,
-                                                 max_scans=args.scans or None)
-        world = sim.make_world_along(gt[:, :3], args.seed)
-        index = sim.WorldIndex(world)
-    else:
-        n_scans = args.scans or 400
-        world = sim.make_world(args.seed, extent=args.radius * 2.5)
-        gt = sim.loop_trajectory(n_scans=n_scans, radius=args.radius,
-                                 speed=1.0)
-        index = None
+    # query scans: rendered in the SAME world the session mapped (pass the
+    # mapping run's trajectory/radius/seed), independent noise (--query-seed)
+    _stamps, gt, world, index = _sim_world_and_traj(args)
     # express GT in the session's map frame (odometry starts at gt[0])
     gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
     gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)
@@ -473,7 +475,9 @@ def cmd_localize(args):
                                      index=index)
         r = loc.localize(xyz, inten)
         row = {"query_pose_idx": int(i), "found": r.found,
-               "kf_idx": r.kf_idx, "sc_dist": round(r.sc_dist, 4),
+               "kf_idx": r.kf_idx,
+               "sc_dist": round(r.sc_dist, 4)
+               if np.isfinite(r.sc_dist) else None,
                "icp_fitness": round(r.icp_fitness, 4)
                if np.isfinite(r.icp_fitness) else None}
         if r.found:

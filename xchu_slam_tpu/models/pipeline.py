@@ -194,6 +194,7 @@ class SlamPipeline:
         self.kf_gate_accum = 0.0
         self.travel = 0.0
         self._last_odom_pose = None
+        self._last_stamp = None
         self._last_kf_odom = None
         self._dirty_graph = False
         self._worker = None
@@ -260,6 +261,7 @@ class SlamPipeline:
             self.odom_state = odometry.init_state(self.ospec, init, filt.xyz, filt.mask)
             pose = np.zeros(6, np.float32)
             self._last_odom_pose = pose
+            self._last_stamp = float(stamp)
             self._add_kf(pose, stamp, filt, opt_pose=pose, gps_alt=gps_alt)
             self.scan_count += 1
             return {"pose": pose, "keyframe": True, "loop": None,
@@ -292,16 +294,19 @@ class SlamPipeline:
         self.kf_gate_accum += step_d
         self._last_odom_pose = pose
         self.scan_count += 1
-        if cfg.odom.use_imu and self.odom_log:
+        if cfg.odom.use_imu and self._last_stamp is not None:
             # reset the IMU velocity from the SLAM result every scan
             # (reference odom_node.cpp:312-317): pure double integration is a
-            # velocity random walk that degrades below constant-velocity
+            # velocity random walk that degrades below constant-velocity.
+            # _last_stamp (seeded at scan 0, like the device engine's
+            # last_stamp) covers the FIRST inter-scan interval too.
             from xchu_slam_tpu.ops import imu as imu_ops
-            dt = float(stamp) - self.odom_log[-1]["stamp"]
+            dt = float(stamp) - self._last_stamp
             if dt > 1e-6:
                 self._imu_state = imu_ops.ImuState(
                     velocity=jnp.asarray((pose[:3] - prev_pose[:3]) / dt,
                                          jnp.float32))
+        self._last_stamp = float(stamp)
         self.odom_log.append({
             "stamp": stamp,
             "pose": pose,

@@ -70,6 +70,28 @@ def _save_device_checkpoint(pipe, path: str) -> None:
     np.savez_compressed(path, **arrays)
 
 
+def _migrate_legacy(data: dict) -> None:
+    """In-place migration of pre-round-3 checkpoint layouts.
+
+    Round 3 packed VoxelGrid's finalized tables (mean/icov/valid → one
+    `fin[V,10]`) and added DevState.last_stamp; older checkpoints carry the
+    separate arrays and no stamp. Both are exactly reconstructible, so old
+    sessions stay loadable (the multi-session `localize` feature exists to
+    read previously saved sessions). Unknown missing keys still fail, with
+    a clear error naming the checkpoint as the cause."""
+    for key in [k for k in data if k.endswith(".mean")]:
+        p = key[: -len(".mean")]
+        if f"{p}.fin" in data or f"{p}.icov" not in data \
+                or f"{p}.valid" not in data:
+            continue
+        data[f"{p}.fin"] = np.concatenate(
+            [np.asarray(data[f"{p}.mean"], np.float32),
+             np.asarray(data[f"{p}.icov"], np.float32),
+             np.asarray(data[f"{p}.valid"], np.float32)[:, None]], axis=-1)
+    if "state.scan_count" in data and "state.last_stamp" not in data:
+        data["state.last_stamp"] = np.float32(0.0)
+
+
 def load_checkpoint(path: str):
     """Restore a pipeline (SlamPipeline or DeviceSlamPipeline, per how it was
     saved) from a checkpoint file."""
@@ -81,7 +103,8 @@ def load_checkpoint(path: str):
     from xchu_slam_tpu.models.pose_graph import GraphData
     from xchu_slam_tpu.types import VoxelGrid
 
-    data = np.load(path)
+    data = dict(np.load(path).items())
+    _migrate_legacy(data)
     meta = json.loads(bytes(data["__meta__"]).decode())
     cfg = SlamConfig.from_json(meta["config"])
 
@@ -98,8 +121,12 @@ def load_checkpoint(path: str):
                 key = f"{prefix}.{name}"
                 if key in data:
                     vals.append(jnp.asarray(data[key]))
-                else:
+                elif (cls.__name__, name) in _NESTED_D:
                     vals.append(unflatten_d(key, _NESTED_D[(cls.__name__, name)]))
+                else:
+                    raise ValueError(
+                        f"checkpoint {path!r} is missing {key!r} — saved by "
+                        f"an incompatible version of this package")
             return cls(*vals)
 
         _NESTED_D = {("DevState", "odom"): odometry.OdomState,
@@ -118,10 +145,12 @@ def load_checkpoint(path: str):
             key = f"{prefix}.{name}"
             if key in data:
                 vals.append(jnp.asarray(data[key]))
+            elif (cls.__name__, name) in _NESTED:
+                vals.append(unflatten(key, _NESTED[(cls.__name__, name)]))
             else:
-                # nested pytree
-                sub = _NESTED.get((cls.__name__, name))
-                vals.append(unflatten(key, sub))
+                raise ValueError(
+                    f"checkpoint {path!r} is missing {key!r} — saved by "
+                    f"an incompatible version of this package")
         return cls(*vals)
 
     _NESTED = {("OdomState", "grid_a"): VoxelGrid,

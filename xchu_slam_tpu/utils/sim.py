@@ -81,6 +81,19 @@ def make_world(
     )
 
 
+def _squircle_dense(radius: float, dense: int = 20000):
+    """Densely sampled squircle circuit: (cx, cy, seg, arc, perimeter) —
+    the single source of the circuit geometry for loop_trajectory AND
+    closed_lap_trajectory (whose seamless-wrap guarantee requires the
+    perimeter to be computed from the identical sampling)."""
+    ang = np.linspace(0, 2 * np.pi, dense, endpoint=False)
+    cx = radius * np.sign(np.cos(ang)) * np.abs(np.cos(ang)) ** 0.5
+    cy = radius * np.sign(np.sin(ang)) * np.abs(np.sin(ang)) ** 0.5
+    seg = np.hypot(np.diff(cx, append=cx[:1]), np.diff(cy, append=cy[:1]))
+    arc = np.concatenate([[0.0], np.cumsum(seg)])[:-1]
+    return cx, cy, seg, arc, arc[-1] + seg[-1]
+
+
 def loop_trajectory(
     n_scans: int = 300,
     radius: float = 60.0,
@@ -93,13 +106,7 @@ def loop_trajectory(
     guaranteeing loop-closure opportunities."""
     # densely sample a squircle, then resample at uniform arc length so the
     # inter-scan spacing is exactly `speed` metres
-    dense = 20000
-    ang = np.linspace(0, 2 * np.pi, dense, endpoint=False)
-    cx = radius * np.sign(np.cos(ang)) * np.abs(np.cos(ang)) ** 0.5
-    cy = radius * np.sign(np.sin(ang)) * np.abs(np.sin(ang)) ** 0.5
-    seg = np.hypot(np.diff(cx, append=cx[:1]), np.diff(cy, append=cy[:1]))
-    arc = np.concatenate([[0.0], np.cumsum(seg)])[:-1]
-    perimeter = arc[-1] + seg[-1]
+    cx, cy, seg, arc, perimeter = _squircle_dense(radius)
     want = (np.arange(n_scans) * speed) % perimeter if closed else \
         np.minimum(np.arange(n_scans) * speed, perimeter * 0.999)
     ix = np.searchsorted(arc, want, side="right") - 1
@@ -122,12 +129,7 @@ def closed_lap_trajectory(n_scans: int, radius: float = 85.0) -> np.ndarray:
     CYCLES SEAMLESSLY (bench phases replay laps back-to-back without a pose
     discontinuity; the constant-velocity NDT guess stays valid across the
     wrap). Spacing = perimeter / n_scans metres."""
-    dense = 20000
-    ang = np.linspace(0, 2 * np.pi, dense, endpoint=False)
-    cx = radius * np.sign(np.cos(ang)) * np.abs(np.cos(ang)) ** 0.5
-    cy = radius * np.sign(np.sin(ang)) * np.abs(np.sin(ang)) ** 0.5
-    seg = np.hypot(np.diff(cx, append=cx[:1]), np.diff(cy, append=cy[:1]))
-    perimeter = float(np.sum(seg))
+    *_rest, perimeter = _squircle_dense(radius)
     return loop_trajectory(n_scans=n_scans, radius=radius,
                            speed=perimeter / n_scans, closed=True)
 
