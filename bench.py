@@ -432,25 +432,33 @@ def phase5():
                          capacity=32768) for p in gt]
 
     out = {"backend": jax.devices()[0].platform, "relay_probe": probe}
+    # both engines up front, reps INTERLEAVED (plain/mesh1/plain/...): the
+    # relay's dispatch cost drifts over a process's lifetime, so timing all
+    # of one engine then all of the other would bias whichever ran second
+    pipes = {}
     for name, mesh in (("plain", None), ("mesh1", sharded.make_mesh(1))):
-        pipe = DeviceSlamPipeline(cfg, kf_points=4096, log_capacity=256,
+        pipe = DeviceSlamPipeline(cfg, kf_points=4096, log_capacity=512,
                                   sync_every=0, mesh=mesh)
         for i, cl in enumerate(clouds[:8]):     # warm/compile
             pipe.process_scan(cl, stamp=0.1 * i)
         _ = np.asarray(pipe.state.scan_count)   # settle
-        reps = []
-        for rep in range(3):
+        pipes[name] = pipe
+    reps = {"plain": [], "mesh1": []}
+    for rep in range(4):
+        for name, pipe in pipes.items():
             t0 = time.perf_counter()
             for i, cl in enumerate(clouds[8:]):
                 pipe.process_scan(cl, stamp=0.1 * (8 + 56 * rep + i))
                 if (i + 1) % 4 == 0:
                     jax.block_until_ready(pipe.state.log)
             _ = int(np.asarray(pipe.state.scan_count))   # forced completion
-            reps.append(1e3 * (time.perf_counter() - t0) / len(clouds[8:]))
-        out[name + "_step_ms"] = round(float(np.median(reps)), 2)
-        out[name + "_rep_step_ms"] = [round(r, 1) for r in reps]
-        print(f"{name}: {out[name + '_step_ms']} ms/step (reps {reps})",
-              file=sys.stderr)
+            reps[name].append(
+                1e3 * (time.perf_counter() - t0) / len(clouds[8:]))
+    for name in pipes:
+        out[name + "_step_ms"] = round(float(np.median(reps[name])), 2)
+        out[name + "_rep_step_ms"] = [round(r, 1) for r in reps[name]]
+        print(f"{name}: {out[name + '_step_ms']} ms/step "
+              f"(reps {out[name + '_rep_step_ms']})", file=sys.stderr)
     out["overhead_pct"] = round(
         100.0 * (out["mesh1_step_ms"] / out["plain_step_ms"] - 1.0), 1)
     print(json.dumps(out))
