@@ -119,6 +119,55 @@ def test_isc_gating_blocks_neighbors(rng):
     assert not bool(res.found)
 
 
+def test_isc_async_query_uses_own_frame_gates(rng):
+    """With `cur=k` (the async loop-worker case: the query frame lags the
+    database head), gating must use frame k's position/travel — not the
+    newest frame's — and frame k must never match itself. Regression for the
+    round-3 review finding: detect_loop hardwired cur = db_count-1."""
+    world = sim.make_world(2, extent=90.0)
+    g = np.random.default_rng(1)
+    K = 64
+    db = np.zeros((K, ISPEC.num_ring, ISPEC.num_sector), np.float32)
+    positions = np.zeros((K, 3), np.float32)
+    travel = np.zeros(K, np.float32)
+    t, prev = 0.0, None
+    # away-and-back (revisit start at i=30), then WANDER OFF (i=31..35):
+    # the newest frames are far from everything
+    path = [np.array([2.0 * i, 0.0, 0.0]) if i <= 15
+            else np.array([2.0 * (30 - i), 0.0, 0.0]) for i in range(31)]
+    path += [np.array([0.0, 3.0 * j, 0.0]) for j in range(1, 6)]
+    for i, pos in enumerate(path):
+        pose = np.array([*pos, 0, 0, 0], np.float32)
+        xyz, inten, m = scan_at(world, pose, g)
+        db[i] = np.asarray(isc_ops.make_descriptor(xyz, jnp.asarray(inten),
+                                                   m, ISPEC))
+        if prev is not None:
+            t += np.linalg.norm(pos - prev)
+        travel[i] = t
+        positions[i] = pos
+        prev = pos
+    n = len(path)
+    # async detection for frame k=30 while the db head has advanced to n-1:
+    # frame 30 revisits the start — must still be found, gated on ITS state
+    res = isc_ops.detect_loop(jnp.asarray(db[30]), jnp.asarray(db),
+                              jnp.int32(n), jnp.asarray(positions),
+                              jnp.asarray(travel), ISPEC, cur=jnp.int32(30))
+    assert bool(res.found) and int(res.idx) in (0, 1)
+    # and the query itself (or anything newer) is never a candidate
+    assert int(res.idx) < 30
+
+    from xchu_slam_tpu.ops import scancontext as sc_ops
+    scspec = sc_ops.ScSpec(dist_thresh=0.5)
+    sc_db = np.asarray(np.random.default_rng(0).random((K, 20, 60)),
+                       np.float32)
+    sc_db[40] = sc_db[2]  # plant: frame 40 matches old frame 2
+    r = sc_ops.detect_loop(jnp.asarray(sc_db[40]), jnp.asarray(sc_db),
+                           jnp.int32(K), scspec, cur=jnp.int32(40))
+    # recency exclusion is relative to the QUERY (40-30=10 newest-eligible
+    # is index 10): frame 2 is eligible and must win; never self-match
+    assert bool(r.found) and int(r.idx) == 2
+
+
 def test_icp_recovers_transform(rng):
     world = sim.make_world(2, extent=90.0)
     g = np.random.default_rng(3)

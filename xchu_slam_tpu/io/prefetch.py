@@ -37,6 +37,26 @@ def _unpack(packed, n_valid):
     return Cloud(xyz=xyz, intensity=packed[:, 3], mask=mask)
 
 
+def _stage_array(buf: np.ndarray) -> jnp.ndarray:
+    """Move a reusable host ring buffer to the device, such that the caller
+    may overwrite `buf` the moment this returns.
+
+    On an accelerator backend that is a real h2d copy: block until the
+    transfer commits, then the slot is free (overlap comes from running
+    several stager threads, not from racing a mutable buffer against an
+    in-flight transfer). On the CPU backend `jnp.asarray` can alias the host
+    memory ZERO-COPY — blocking doesn't help because the consuming
+    computation runs later — so hand the array an OWNED copy instead
+    (observed otherwise as a rare chunked-vs-per-scan mismatch under heavy
+    host contention: a lagging unpack read a buffer the next stage() call
+    was overwriting)."""
+    if jax.default_backend() == "cpu":
+        return jnp.asarray(buf.copy())
+    packed = jnp.asarray(buf)
+    packed.block_until_ready()
+    return packed
+
+
 # Fixed-point staging: 2 mm resolution, int16 range ±65.534 m — comfortably
 # beyond the 60 m range crop (reference filter_node.cpp:242-247) and ~10×
 # below LiDAR sensor noise, so odometry is unaffected (tests/test_prefetch.py
@@ -106,8 +126,7 @@ class ScanStager:
             c = min(-(-max(n, 1) // self.bucket) * self.bucket, self.capacity)
             if n < c:
                 buf[n:c] = 0
-            packed = jnp.asarray(buf[:c])
-            packed.block_until_ready()
+            packed = _stage_array(buf[:c])
             return _unpack_quant(packed, jnp.int32(n), self.capacity)
         buf[:n, :3] = xyz[:n]
         if intensity is None:
@@ -116,11 +135,7 @@ class ScanStager:
             buf[:n, 3] = intensity[:n]
         if n < self.capacity:
             buf[n:] = 0.0
-        packed = jnp.asarray(buf)
-        # wait for the transfer to commit before the ring slot is reused;
-        # overlap comes from running several stager threads, not from leaving
-        # a mutable host buffer racing an in-flight transfer
-        packed.block_until_ready()
+        packed = _stage_array(buf)
         return _unpack(packed, jnp.int32(n))
 
 
@@ -258,8 +273,7 @@ class ChunkStager:
                 buf[s, n:] = 0
         for s in range(len(scans), self.chunk):
             buf[s] = 0
-        packed = jnp.asarray(buf)
-        packed.block_until_ready()
+        packed = _stage_array(buf)
         unpack = _unpack_chunk_quant if self.quantize else _unpack_chunk
         return unpack(packed, jnp.asarray(counts)), len(scans)
 

@@ -161,12 +161,12 @@ def _detect_candidate(state: DevState, k, stamp, spec: DevSpec):
     db = state.db
     if spec.method == "sc":
         res = sc.detect_loop(db.sc_db[k], db.sc_db, db.count, spec.scspec,
-                             axis=spec.axis)
+                             axis=spec.axis, cur=k)
         return res.idx, res.found, res.yaw
     if spec.method == "isc":
         res = isc_ops.detect_loop(db.isc_db[k], db.isc_db, db.count,
                                   db.poses[:, :3], db.travel, spec.iscspec,
-                                  axis=spec.axis)
+                                  axis=spec.axis, cur=k)
         return res.idx, res.found, res.yaw
     if spec.method == "radius":
         idx, found = _sc_radius_candidate(state, k, stamp, spec)

@@ -411,14 +411,17 @@ class SlamPipeline:
         cand = -1
         yaw = None  # descriptor-measured relative yaw (ψ_cand − ψ_query)
         if method == "sc":
-            res = sc.detect_loop(db.sc_db[k], db.sc_db, db.count, self.scspec)
+            # cur=k: the async worker may run this AFTER newer keyframes were
+            # appended, so gating must be relative to the query frame
+            res = sc.detect_loop(db.sc_db[k], db.sc_db, db.count, self.scspec,
+                                 cur=jnp.int32(k))
             if bool(res.found):
                 cand = int(res.idx)
                 yaw = float(res.yaw)
         elif method == "isc":
             res = isc_ops.detect_loop(
                 db.isc_db[k], db.isc_db, db.count,
-                db.poses[:, :3], db.travel, self.iscspec)
+                db.poses[:, :3], db.travel, self.iscspec, cur=jnp.int32(k))
             if bool(res.found):
                 cand = int(res.idx)
                 yaw = float(res.yaw)

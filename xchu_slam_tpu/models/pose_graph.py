@@ -43,7 +43,11 @@ class GraphSpec(NamedTuple):
     cg_tol: float = 1e-6         # RELATIVE PCG stop on the PRECONDITIONED
     # norm: exit when rᵀM⁻¹r < tol·bᵀM⁻¹b (cg_cond below) — the effective
     # threshold depends on `precond` (tridiag vs jacobi)
-    gps_info_xy: float = 1e-9    # reference variance 1e9
+    # NOTE deliberately NO gps_info_xy: the reference's GPSFactor "constrains"
+    # xy with variance 1e9 — and feeds it the CURRENT optimized xy estimate
+    # (pgo_node.cpp:279-287), so the xy rows are a numerical no-op twice
+    # over. Our GPS factor is honestly altitude-only; config.gps_noise_xy
+    # remains as parameter-inventory documentation.
     gps_info_z: float = 1.0 / 250.0
     # in-step (per-accepted-loop) solve economy — the iSAM2-incrementality
     # analogue (pgo_node.cpp:498-528). The mid-run graph is warm-started from
@@ -77,7 +81,6 @@ def spec_from_config(pgo_cfg) -> GraphSpec:
         inloop_gn_iterations=pgo_cfg.inloop_gn_iterations,
         solve_every=pgo_cfg.solve_every,
         precond=pgo_cfg.precond,
-        gps_info_xy=1.0 / pgo_cfg.gps_noise_xy,
         gps_info_z=1.0 / pgo_cfg.gps_noise_alt,
     )
 
@@ -131,7 +134,14 @@ def _between_residual(Ti, Tj, Z):
 
 def _whitened_residuals(xi, Ts0, g: GraphData, spec: GraphSpec):
     """All whitened residuals stacked; xi [K,6] is the tangent update
-    (node 0 is gauge-fixed by masking its update to zero)."""
+    (node 0 is gauge-fixed by masking its update to zero).
+
+    TEST ORACLE: production solves route through `sharded_gn_solve`, whose
+    inline block assembly re-implements this whitening; the dense-solve
+    oracle tests in tests/test_pose_graph.py differentiate THIS function and
+    compare against the solver's output, so drift between the two
+    implementations fails those tests. Keep the weighting rules in lockstep
+    when changing either."""
     K = Ts0.shape[0]
     mask0 = jnp.ones((K, 1), xi.dtype).at[0, 0].set(0.0)
     T = jnp.matmul(Ts0, se3.se3_exp(xi * mask0), precision=_PREC)

@@ -139,17 +139,17 @@ class IscLoop(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("spec", "axis"))
 def detect_loop(query, db, db_count, positions, travel, spec: IscSpec,
-                axis: str | None = None) -> IscLoop:
+                axis: str | None = None, cur=None) -> IscLoop:
     """Best gated two-stage ISC loop (reference detectLoopClosureID, :157-193).
 
     positions: [K_max, 3] keyframe positions; travel: [K_max] cumulative travel
-    distance; entry `db_count-1` is the current frame.
-
-    With `axis` set (inside a replicated-input `shard_map`), each device
-    scores a K/D slice of the database (geometry + intensity stages shard by
-    K) and the global best comes from an all-gather of per-device maxima."""
+    distance. `cur` is the QUERY keyframe index (default `db_count-1`, the
+    newest). Callers whose query may lag the database head — the async
+    loop-closure worker detects for frame k after newer keyframes were
+    appended — must pass `cur=k`, so the travel/position gates use the query
+    frame's own state and the query can never match itself."""
     K = db.shape[0]
-    cur = db_count - 1
+    cur = db_count - 1 if cur is None else cur
     cur_pos = positions[cur]
     cur_travel = travel[cur]
 

@@ -258,8 +258,12 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
             # the step is too short — expand toward alpha0 instead
             expand = suff & (~curv) & (dphi_a < 0.0)
             a_next = jnp.where(expand, jnp.minimum(2.0 * a, alpha0), a_next)
-            return (jnp.where(accept, a, a_next), t + 1, done | accept,
-                    best_a, best_phi)
+            # no progress possible (e.g. expand capped at a == alpha0): stop
+            # instead of re-evaluating the identical trial point — the result
+            # (best_a) is unchanged, the redundant ∇-passes are not
+            stuck = jnp.abs(a_next - a) < 1e-12 * jnp.maximum(a, 1e-12)
+            return (jnp.where(accept, a, a_next), t + 1,
+                    done | accept | stuck, best_a, best_phi)
 
         a_fin, _, accepted, best_a, best_phi = jax.lax.while_loop(
             cond, body, (alpha0, jnp.int32(0), jnp.bool_(False),
@@ -377,7 +381,15 @@ def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
         pose, iters, converged = newton_align(loss, init_pose, nspec,
                                               vgh=vgh, vg=vg, prepare=prepare)
     else:
-        pose, iters, converged = newton_align(loss, init_pose, nspec)
+        # sharded autodiff fallback: reverse-mode transposes of the in-loss
+        # collective can carry per-rank float skew, so g/H must be broadcast
+        # from rank 0 exactly like the closed-form path's reductions — a
+        # divergent Newton/line-search trip count deadlocks the in-loop
+        # all_gathers (see newton_align's docstring)
+        bcast = (lambda x: jax.lax.all_gather(x, axis)[0]) \
+            if axis is not None else (lambda x: x)
+        pose, iters, converged = newton_align(loss, init_pose, nspec,
+                                              bcast=bcast)
     score = ndt_loss(pose, xyz_l, mask_l, grid, gspec, d1, d2, psum_axis=axis)
     frac, fitness = _fitness(pose, xyz_l, mask_l, grid, gspec, reduce_)
     return AlignResult(pose=pose, iterations=iters, converged=converged,

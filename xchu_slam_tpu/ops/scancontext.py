@@ -170,11 +170,16 @@ def detect_loop_between_sessions(query, db, db_count, spec: ScSpec) -> LoopCandi
 
 @functools.partial(jax.jit, static_argnames=("spec", "axis"))
 def detect_loop(query, db, db_count, spec: ScSpec,
-                axis: str | None = None) -> LoopCandidate:
-    """Find the best loop candidate for `query` among db[:db_count -
-    num_exclude_recent] (reference detectLoopClosureID, :331-422).
+                axis: str | None = None, cur=None) -> LoopCandidate:
+    """Find the best loop candidate for `query` among the entries at least
+    `num_exclude_recent` keyframes older than the query (reference
+    detectLoopClosureID, :331-422).
 
-    db: [K_max, R, S]; db_count: int32 live entries.
+    db: [K_max, R, S]; db_count: int32 live entries. `cur` is the QUERY
+    keyframe index (default `db_count-1`, the newest): the recency exclusion
+    is relative to the query, so an async caller whose query lags the
+    database head (models/async_worker) cannot match the query against
+    itself or its near-in-time neighbours.
 
     With `axis` set (inside a replicated-input `shard_map`), each device
     scores a K/D slice of the database (the [K,S,S] rotation-search einsum
@@ -182,6 +187,8 @@ def detect_loop(query, db, db_count, spec: ScSpec,
     per-device minima — the distributed retrieval of SURVEY.md §5
     ('descriptor DB partitioned per host, local top-k + all_gather')."""
     K = db.shape[0]
+    cur = db_count - 1 if cur is None else cur
+    newest_eligible = cur + 1 - spec.num_exclude_recent
     if axis is not None:
         D = jax.lax.axis_size(axis)
         if K % D != 0:
@@ -190,7 +197,7 @@ def detect_loop(query, db, db_count, spec: ScSpec,
         base = jax.lax.axis_index(axis) * shard
         db_l = jax.lax.dynamic_slice_in_dim(db, base, shard)
         idxs = base + jnp.arange(shard)
-        eligible = idxs < (db_count - spec.num_exclude_recent)
+        eligible = idxs < newest_eligible
         dist, shift = distance_all_rotations(query, db_l, eligible, spec)
         li = jnp.argmin(dist)
         local = jnp.stack([dist[li], (base + li).astype(jnp.float32),
@@ -200,7 +207,7 @@ def detect_loop(query, db, db_count, spec: ScSpec,
         best_dist, best, best_shift = row[0], row[1].astype(jnp.int32), row[2]
     else:
         idxs = jnp.arange(K)
-        eligible = idxs < (db_count - spec.num_exclude_recent)
+        eligible = idxs < newest_eligible
         dist, shift = distance_all_rotations(query, db, eligible, spec)
         best = jnp.argmin(dist)
         best_dist = dist[best]
