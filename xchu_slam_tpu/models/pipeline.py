@@ -89,17 +89,24 @@ def fused_filter_step(state, cloud: Cloud, fcfg, ospec,
 @functools.partial(jax.jit, static_argnames=("n_out",))
 def subsample_cloud(xyz, mask, n_out: int):
     """Spatially unbiased fixed-size subsample: compact valid points then take
-    an even stride. Returns (xyz [n_out,3], mask [n_out], src_idx [n_out])."""
-    order = jnp.argsort(~mask, stable=True)
-    xyz_c = xyz[order]
-    mask_c = mask[order]
+    an even stride. Returns (xyz [n_out,3], mask [n_out], src_idx [n_out]).
+
+    Compaction is cumsum + scatter (one O(N) pass, bit-exact vs the stable
+    argsort it replaces — sorts are among the slowest TPU primitives); the
+    strided indices land on compacted slots < n_valid, which are valid by
+    construction."""
+    N = xyz.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask, pos, N)
+    xyz_c = jnp.zeros((N + 1, 3), xyz.dtype).at[dest].set(xyz)[:N]
+    src_c = jnp.zeros((N + 1,), jnp.int32).at[dest].set(jnp.arange(N))[:N]
     n_valid = jnp.sum(mask)
     idx = (jnp.arange(n_out) * jnp.maximum(n_valid, 1)) // n_out
-    idx = jnp.clip(idx, 0, xyz.shape[0] - 1)
+    idx = jnp.clip(idx, 0, N - 1)
     take_mask = jnp.arange(n_out) < jnp.minimum(n_valid, n_out)
-    src_idx = order[idx]
+    src_idx = src_c[idx]
     return (jnp.where(take_mask[:, None], xyz_c[idx], 0.0),
-            mask_c[idx] & take_mask, src_idx)
+            take_mask, src_idx)
 
 
 # NOTE: db is deliberately NOT donated — the async loop worker may hold a

@@ -175,13 +175,22 @@ def statistical_outlier_removal(
 
 
 def compact(cloud: Cloud, out_capacity: int) -> Cloud:
-    """Pack valid points to the front (stable), truncating/padding to capacity."""
-    order = jnp.argsort(~cloud.mask, stable=True)
-    take = order[:out_capacity]
-    mask = cloud.mask[take]
+    """Pack valid points to the front (stable), truncating/padding to capacity.
+
+    cumsum + scatter instead of a stable argsort: the destination slot of
+    each valid point is its running valid-count, one O(N) pass (bit-exact
+    vs the argsort formulation; sorts are among the slowest primitives on
+    TPU — see PERF.md)."""
+    pos = jnp.cumsum(cloud.mask.astype(jnp.int32)) - 1
+    dest = jnp.where(cloud.mask & (pos < out_capacity), pos, out_capacity)
+    xyz = jnp.zeros((out_capacity + 1, 3), cloud.xyz.dtype).at[dest].set(cloud.xyz)
+    inten = jnp.zeros((out_capacity + 1,),
+                      cloud.intensity.dtype).at[dest].set(cloud.intensity)
+    n_valid = jnp.minimum(jnp.sum(cloud.mask), out_capacity)
+    mask = jnp.arange(out_capacity) < n_valid
     return Cloud(
-        xyz=jnp.where(mask[:, None], cloud.xyz[take], 0.0),
-        intensity=jnp.where(mask, cloud.intensity[take], 0.0),
+        xyz=jnp.where(mask[:, None], xyz[:out_capacity], 0.0),
+        intensity=jnp.where(mask, inten[:out_capacity], 0.0),
         mask=mask,
     )
 
