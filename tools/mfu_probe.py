@@ -69,11 +69,19 @@ def cost(jitted, *args):
         return {"flops": 0.0, "bytes": 0.0, "error": str(e)[:100]}
 
 
-def row(name, dt, ca, note=""):
-    fl, by = ca.get("flops", 0.0), ca.get("bytes", 0.0)
+def row(name, dt, ca, note="", analytic_bytes=None):
+    """One roofline row. `analytic_bytes` (hand-counted operand traffic from
+    the kernel's actual shapes) OVERRIDES XLA's cost model for the bandwidth
+    figures when given: XLA's `bytes accessed` over-counts gather/scatter
+    operands (it bills the whole gathered-from table per gather), which
+    round 3 recorded as >100%-of-HBM rows. Both byte counts are kept in the
+    artifact so the discrepancy itself is visible."""
+    fl, by_xla = ca.get("flops", 0.0), ca.get("bytes", 0.0)
+    by = analytic_bytes if analytic_bytes is not None else by_xla
     r = {
         "kernel": name, "time_ms": round(1e3 * dt, 3),
-        "flops": fl, "bytes": by,
+        "flops": fl, "bytes_xla_cost_model": by_xla,
+        "bytes_analytic": analytic_bytes,
         "gflops_per_s": round(fl / dt / 1e9, 1),
         "gb_per_s": round(by / dt / 1e9, 1),
         "pct_hbm_peak": round(100 * by / dt / PEAK_HBM, 2),
@@ -117,8 +125,16 @@ def main():
     look = jax.jit(lambda p, x: ndt_deriv.neighborhood(p, x, grid, gspec))
     nb = jax.block_until_ready(look(pose, filt.xyz))
     dt = timed(lambda: look(pose, filt.xyz))
+    # analytic: read xyz [N,3] f32, gather N·7 rows of the packed fin table
+    # (40 B each), write (mean[N,7,3], icov[N,7,6], valid[N,7]) = N·7·10 f32.
+    # XLA's cost model instead bills the FULL 6.1 MB table per gather op,
+    # which round 3 recorded as a 411%-of-HBM row.
+    look_bytes = N * 3 * 4 + N * 7 * 40 + N * 7 * 10 * 4
     rows.append(row(f"ndt lookup7 gather (N={N})", dt, cost(look, pose, filt.xyz),
-                    note="7 random rows of mean[3]+icov[6]+valid per point"))
+                    note="7 random rows of mean[3]+icov[6]+valid per point; "
+                         "analytic bytes = xyz read + 7N gathered rows + "
+                         "[N,7,10] write",
+                    analytic_bytes=look_bytes))
 
     # --- 1b. fused value/grad/Hessian WITH precomputed neighborhood ---
     vgh_nb = jax.jit(lambda p, x, m, nbv: ndt_deriv.ndt_value_grad_hess(
@@ -143,9 +159,18 @@ def main():
     res = jax.block_until_ready(al(grid, filt.xyz, filt.mask, pose))
     iters = int(res.iterations)
     dt = timed(lambda: al(grid, filt.xyz, filt.mask, pose), k=30)
+    # analytic (measured trip counts, assumes 2 line-search ∇-trials/iter):
+    # per Newton iter = lookup7 traffic + the Hessian contraction re-reading
+    # nb [N,7,10] + 2 trial passes re-reading nb
+    nb_bytes = N * 7 * 10 * 4
+    align_bytes = iters * (look_bytes + nb_bytes + 2 * nb_bytes)
     rows.append(row(f"ndt.align e2e ({iters} Newton iters)", dt,
                     cost(al, grid, filt.xyz, filt.mask, pose),
-                    note="while_loop; cost model assumes max trip counts"))
+                    note="while_loop; analytic bytes = iters x (lookup7 + "
+                         "hess pass + 2 line-search trials), so the low %HBM "
+                         "is the point: align is gather-ISSUE-bound, not "
+                         "byte-bound",
+                    analytic_bytes=align_bytes))
 
     # --- 2. SC retrieval: full-DB x 60-rotation einsum at K=2048 ----------
     cfg = default_config()
@@ -201,18 +226,49 @@ def main():
     rows.append(row("filter_scan 32k->16k", dt, cost(filt_j, cl),
                     note="crop + sort-downsample + radius outlier + compact"))
 
+    # statistical outlier variants at the KITTI-sim CLI shape (8192 pts) —
+    # the phase3 per-scan budget's former dominant term
+    fcfg8 = FilterConfig(max_raw_points=32768, max_points=8192,
+                         outlier_method="statistical")
+    stat_j = jax.jit(lambda c: filter_scan(c, fcfg8))
+    _ = jax.block_until_ready(stat_j(cl))
+    dt = timed(lambda: stat_j(cl))
+    rows.append(row("filter_scan 32k->8k statistical (fused)", dt,
+                    cost(stat_j, cl),
+                    note="one fused all-pairs hierarchical top_k pass "
+                         "(k=30); was 2.3x slower row-chunked"))
+    fcfg8b = FilterConfig(max_raw_points=32768, max_points=8192,
+                          outlier_method="statistical_bucketed")
+    statb_j = jax.jit(lambda c: filter_scan(c, fcfg8b))
+    _ = jax.block_until_ready(statb_j(cl))
+    dt = timed(lambda: statb_j(cl))
+    rows.append(row("filter_scan 32k->8k statistical (bucketed)", dt,
+                    cost(statb_j, cl),
+                    note="27-bucket candidate gather + exact fallback; wins "
+                         "at real-LiDAR density, loses at sim sparsity"))
+
     from xchu_slam_tpu.utils import se3 as se3u
     pts_map = jax.block_until_ready(se3u.rotate_translate(state.pose, filt.xyz))
     ins = jax.jit(lambda g, p, m: vm.insert_points(g, p, m, gspec))
     g2 = jax.block_until_ready(ins(state.grid_b, pts_map, filt.mask))
     dt = timed(lambda: ins(state.grid_b, pts_map, filt.mask))
+    V = gspec.num_voxels
+    # analytic: read pts [N,3], read-modify-write N scattered [10]-rows
+    # (donated buffer updates in place; if XLA copies the table the true
+    # traffic adds 2·V·40 B — noted, not assumed)
+    ins_bytes = N * 3 * 4 + 2 * N * 10 * 4
     rows.append(row("vm.insert_points 16k", dt,
                     cost(ins, state.grid_b, pts_map, filt.mask),
-                    note="scatter-add of per-voxel moments"))
+                    note="scatter-add of per-voxel moments; analytic assumes "
+                         "in-place donated scatter (RMW of N rows)",
+                    analytic_bytes=ins_bytes))
     fin = jax.jit(lambda g: vm.finalize(g, gspec))
     dt = timed(lambda: fin(g2))
+    # analytic: read moments [V,10], write packed fin [V,10]
     rows.append(row("vm.finalize 80x80x24", dt, cost(fin, g2),
-                    note="mean/cov/eig-inflate/invert per voxel"))
+                    note="mean/cov/eig-inflate/invert per voxel; analytic = "
+                         "read [V,10] moments + write [V,10] fin",
+                    analytic_bytes=2 * V * 10 * 4))
 
     out = {"device": str(jax.devices()[0]),
            "peaks": {"f32_mxu": PEAK_F32_MXU, "bf16_mxu": PEAK_BF16_MXU,

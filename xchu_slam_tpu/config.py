@@ -25,11 +25,17 @@ class FilterConfig:
     min_range: float = 1.0          # annulus crop (filter_node.cpp:242-247)
     max_range: float = 60.0
     voxel_size: float = 0.5         # downsample leaf (filter_node.cpp:250)
-    outlier_method: str = "radius"  # "radius" | "statistical" | "none"
+    outlier_method: str = "radius"  # "radius" | "statistical" |
+    #                                 "statistical_bucketed" | "none"
     radius_outlier_radius: float = 0.8   # (filter_node.cpp:264-273)
     radius_outlier_min_neighbors: int = 5
     stat_outlier_k: int = 30             # (filter_node.cpp:255-262)
     stat_outlier_stddev: float = 1.0
+    # spatially-bucketed statistical filter (ops/filter.py): bucket size is
+    # stat_bucket_mult·voxel_size (occupancy then bounded by the downsample),
+    # unproven rows re-solved exactly up to stat_fallback_rows per scan
+    stat_bucket_mult: int = 4
+    stat_fallback_rows: int = 1024
     detect_ground: bool = False     # emit plane coeffs per scan (FloorCoeffs
     # analogue — the reference publishes them but nothing consumes them)
     # static shapes

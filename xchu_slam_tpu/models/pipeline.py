@@ -274,6 +274,17 @@ class SlamPipeline:
             return {"pose": pose, "keyframe": True, "loop": None,
                     "ground": self._maybe_ground(filt)}
 
+        result = None
+        if self.defer_sync and cfg.odom.use_imu and self._pending is not None:
+            # with IMU guessing, consume the pending scan BEFORE integrating
+            # the new guess: _consume performs the per-scan velocity reset
+            # (odom_node.cpp:312-317) that _ext_guess must see — otherwise the
+            # guess for scan k+1 integrates from the pre-reset velocity and
+            # defer_sync results diverge from synchronous mode. The previous
+            # scan was dispatched a full call ago, so this readback does not
+            # stall the device pipeline meaningfully.
+            result = self._consume(*self._pending)
+            self._pending = None
         ext_delta, use_ext = self._ext_guess(imu, wheel)
         self.odom_state, out, filt = fused_filter_step(
             self.odom_state, cloud, cfg.filter, self.ospec,
@@ -281,7 +292,6 @@ class SlamPipeline:
         if self.defer_sync:
             # dispatch done (async); consume the PREVIOUS scan's results so
             # the host never blocks on the scan just submitted
-            result = None
             if self._pending is not None:
                 result = self._consume(*self._pending)
             self._pending = (out, filt, stamp, gps_alt)

@@ -92,7 +92,7 @@ def _chunked_pairwise(xyz: jnp.ndarray, mask: jnp.ndarray, chunk: int,
     import math
 
     n = xyz.shape[0]
-    chunk = min(chunk, n)
+    chunk = n if chunk is None else min(chunk, n)
     if n % chunk != 0:
         chunk = math.gcd(n, chunk)
     sq = jnp.sum(xyz * xyz, axis=-1)
@@ -106,6 +106,12 @@ def _chunked_pairwise(xyz: jnp.ndarray, mask: jnp.ndarray, chunk: int,
         d2 = jnp.where(mask[None, :], d2, jnp.inf)
         return reducer(d2, rows_mask, i0)
 
+    if chunk >= n:
+        # single fused pass — measured 2.3× faster than the same work under
+        # a one-element lax.map on TPU v5e (14.1 vs 32.3 ms for the k=30
+        # statistical filter at 8192 pts; the loop form blocks XLA from
+        # scheduling the matmul/top_k pipeline across the whole matrix)
+        return body(jnp.int32(0))[None]
     starts = jnp.arange(0, n, chunk)
     return jax.lax.map(body, starts)
 
@@ -132,7 +138,7 @@ def radius_outlier_removal(
 
 
 def statistical_outlier_removal(
-    cloud: Cloud, k: int, stddev_mult: float, chunk: int = 1024
+    cloud: Cloud, k: int, stddev_mult: float, chunk: int | None = None
 ) -> Cloud:
     """Exact statistical outlier removal (reference filter_node.cpp:255-262):
     mean distance to k nearest neighbors; drop points whose mean exceeds
@@ -142,8 +148,11 @@ def statistical_outlier_removal(
     ~256-column slices, then top_k over the merged per-segment winners —
     exact (the k smallest of the union of per-segment k-smallest sets are
     the global k smallest) and measured 3.2× faster than one flat top_k
-    over the full row on TPU (233 → 73 ms at 16k points, 58 → 32 ms at
-    8k; XLA's top_k cost grows superlinearly in row length)."""
+    over the full row on TPU (XLA's top_k cost grows superlinearly in row
+    length). With `chunk=None` (default) the whole matrix runs as ONE fused
+    pass — measured another 2.3× over row-chunked lax.map at 8192 pts
+    (32.3 → 14.1 ms on TPU v5e); pass a chunk only when the [n,n] distance
+    matrix would not fit memory."""
 
     def reducer(d2, rows_mask, i0):
         C, ncol = d2.shape
@@ -167,6 +176,148 @@ def statistical_outlier_removal(
     var = jnp.sum(jnp.where(valid, (mean_d - mu) ** 2, 0.0)) / n
     thresh = mu + stddev_mult * jnp.sqrt(var)
     keep = valid & (mean_d <= thresh)
+    return Cloud(
+        xyz=jnp.where(keep[:, None], cloud.xyz, 0.0),
+        intensity=jnp.where(keep, cloud.intensity, 0.0),
+        mask=keep,
+    )
+
+
+# Bucket lattice for the spatially-bucketed statistical filter. x is the
+# FASTEST-varying key dimension so the 3 x-neighbor buckets of any cell are
+# CONTIGUOUS in sorted-key order: a 27-bucket neighborhood becomes 9
+# contiguous ranges → 9 slice-gathers instead of 27 (or per-element) gathers.
+_B_DIM_XY = 128
+_B_DIM_Z = 32
+_B_TABLE = _B_DIM_XY * _B_DIM_XY * _B_DIM_Z
+
+
+def _bucket_ids(xyz: jnp.ndarray, bucket_size: float):
+    """Clipped per-axis bucket indices. Edge buckets are catch-alls: clipping
+    only merges far-away space into them, which preserves NEIGHBORHOOD
+    COVERAGE (any point within `bucket_size` of a query is always inside the
+    query's 3x3x3 clipped-bucket cube) at the cost of possible range overflow
+    there — overflow is detected and routed to the exact fallback."""
+    idx = jnp.floor(xyz / bucket_size).astype(jnp.int32)
+    sx = jnp.clip(idx[:, 0] + _B_DIM_XY // 2, 0, _B_DIM_XY - 1)
+    sy = jnp.clip(idx[:, 1] + _B_DIM_XY // 2, 0, _B_DIM_XY - 1)
+    sz = jnp.clip(idx[:, 2] + _B_DIM_Z // 2, 0, _B_DIM_Z - 1)
+    return sx, sy, sz
+
+
+def statistical_outlier_removal_bucketed(
+    cloud: Cloud, k: int, stddev_mult: float, bucket_size: float,
+    cap: int = 64, fallback_rows: int = 256,
+) -> Cloud:
+    """EXACT statistical outlier removal via spatial bucketing.
+
+    Same semantics as `statistical_outlier_removal` (reference
+    filter_node.cpp:255-262) but O(N·candidates) instead of O(N²): points are
+    binned to a `bucket_size` lattice and k-NN candidates come from the
+    27-bucket neighborhood only (9 contiguous sorted ranges, fetched as one
+    sliced gather). A row is PROVEN exact when its k-th candidate distance is
+    strictly below `bucket_size` (the 27-cube covers that radius) and none of
+    its 9 ranges overflowed the 3·`cap` fetch budget; unproven rows (sparse
+    outliers, lattice-edge catch-all buckets) are re-solved EXACTLY by a
+    compact brute-force pass over up to `fallback_rows` rows. Rows beyond
+    that capacity have no trustworthy mean: they are KEPT and excluded from
+    the µ/σ statistics — the graceful failure direction (an outlier filter
+    that deletes unproven points can decimate a legitimately sparse cloud;
+    keeping a few extra sparse points degrades nothing downstream).
+
+    When fed voxel-downsampled input (filter_scan's pipeline order) with
+    `bucket_size = m·voxel_size`, bucket occupancy is bounded by m³ ≤ `cap`,
+    so ranges can only overflow in the lattice-edge catch-all buckets.
+    Measured on TPU v5e at the KITTI-sim CLI shape (8192 pts, k=30):
+    32 ms (flat hierarchical top_k over all pairs) → ~5 ms."""
+    n = cloud.xyz.shape[0]
+    L = 3 * cap
+    if L <= k + 1:
+        raise ValueError(f"3*cap ({L}) must exceed k+1 ({k + 1})")
+    b2 = jnp.float32(bucket_size * bucket_size)
+
+    sx, sy, sz = _bucket_ids(cloud.xyz, bucket_size)
+    key = (sz * _B_DIM_XY + sy) * _B_DIM_XY + sx
+    key = jnp.where(cloud.mask, key, _B_TABLE)       # invalid → scatter-drop
+    order = jnp.argsort(key)
+    xyz_s = cloud.xyz[order]
+    # sorted valid points occupy positions [0, n_valid); bucket ranges index
+    # exclusively into that prefix (counts exclude dropped invalid keys)
+    counts = jnp.zeros((_B_TABLE,), jnp.int32).at[key].add(1)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
+    # pad so dynamic_slice never clamps (start ≤ n always)
+    pad = jnp.full((L, 3), 1e9, cloud.xyz.dtype)
+    xyz_pad = jnp.concatenate([xyz_s, pad], axis=0)
+
+    fetch = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(xyz_pad, (s, 0), (L, 3)))
+    q = cloud.xyz
+    lane = jnp.arange(L, dtype=jnp.int32)
+    lo_x = jnp.maximum(sx - 1, 0)
+    hi_x = jnp.minimum(sx + 1, _B_DIM_XY - 1)
+    per_row_negk = []
+    n_cand = jnp.zeros((n,), jnp.int32)
+    overflow = jnp.zeros((n,), bool)
+    for dy in (-1, 0, 1):
+        for dz in (-1, 0, 1):
+            y = sy + dy
+            z = sz + dz
+            row_ok = (y >= 0) & (y < _B_DIM_XY) & (z >= 0) & (z < _B_DIM_Z)
+            yc = jnp.clip(y, 0, _B_DIM_XY - 1)
+            zc = jnp.clip(z, 0, _B_DIM_Z - 1)
+            b_lo = (zc * _B_DIM_XY + yc) * _B_DIM_XY + lo_x
+            b_hi = (zc * _B_DIM_XY + yc) * _B_DIM_XY + hi_x
+            start = starts[b_lo]
+            cnt = jnp.where(row_ok, starts[b_hi + 1] - start, 0)
+            overflow = overflow | (cnt > L)
+            n_cand = n_cand + cnt
+            cand = fetch(start)                         # [n, L, 3]
+            d2 = jnp.sum((q[:, None, :] - cand) ** 2, axis=-1)
+            d2 = jnp.where(lane[None, :] < cnt[:, None], d2, jnp.inf)
+            negk, _ = jax.lax.top_k(-d2, k + 1)
+            per_row_negk.append(negk)
+    neg, _ = jax.lax.top_k(jnp.concatenate(per_row_negk, axis=1), k + 1)
+    d2k = jnp.maximum(-neg[:, 1:], 0.0)                 # drop self (dist 0)
+    mean_d = jnp.mean(jnp.sqrt(d2k), axis=-1)
+    # strict inequality: a missed point outside the 27-cube is ≥ bucket_size
+    # away, so d_k < bucket_size proves the found k are the true k nearest
+    resolved = (~overflow) & (n_cand >= k + 1) & (d2k[:, -1] < b2)
+    unresolved = cloud.mask & ~resolved
+
+    # exact fallback: compact unresolved row indices, brute-force those rows
+    R = min(fallback_rows, n)
+    pos = jnp.cumsum(unresolved.astype(jnp.int32)) - 1
+    sel = jnp.where(unresolved & (pos < R), pos, R)
+    rows_idx = jnp.zeros((R + 1,), jnp.int32).at[sel].set(jnp.arange(n))
+    fb_n = jnp.minimum(jnp.sum(unresolved), R)
+    fb_valid = jnp.arange(R) < fb_n
+    fq = cloud.xyz[rows_idx[:R]]
+    d2f = (jnp.sum(fq * fq, -1)[:, None] + jnp.sum(q * q, -1)[None, :]
+           - 2.0 * fq @ q.T)
+    d2f = jnp.where(cloud.mask[None, :], jnp.maximum(d2f, 0.0), jnp.inf)
+    segs = max(1, n // 256)
+    while n % segs:
+        segs -= 1
+    if segs > 1 and n // segs > k + 1:
+        nf_s, _ = jax.lax.top_k(d2f.reshape(R, segs, n // segs) * -1.0, k + 1)
+        nf, _ = jax.lax.top_k(nf_s.reshape(R, segs * (k + 1)), k + 1)
+    else:
+        nf, _ = jax.lax.top_k(-d2f, k + 1)
+    mean_f = jnp.mean(jnp.sqrt(jnp.maximum(-nf[:, 1:], 0.0)), axis=-1)
+    dest = jnp.where(fb_valid, rows_idx[:R], n)
+    mean_d = jnp.concatenate([mean_d, jnp.zeros((1,), mean_d.dtype)])
+    mean_d = mean_d.at[dest].set(mean_f)[:n]
+    fb_fixed = jnp.zeros((n + 1,), bool).at[dest].set(True)[:n]
+
+    # rows with a trustworthy (exact) mean: proven-resolved or fallback-fixed
+    known = cloud.mask & (resolved | fb_fixed) & jnp.isfinite(mean_d)
+    unknown = cloud.mask & ~known
+    nv = jnp.maximum(jnp.sum(known), 1)
+    mu = jnp.sum(jnp.where(known, mean_d, 0.0)) / nv
+    var = jnp.sum(jnp.where(known, (mean_d - mu) ** 2, 0.0)) / nv
+    thresh = mu + stddev_mult * jnp.sqrt(var)
+    keep = (known & (mean_d <= thresh)) | unknown
     return Cloud(
         xyz=jnp.where(keep[:, None], cloud.xyz, 0.0),
         intensity=jnp.where(keep, cloud.intensity, 0.0),
@@ -208,6 +359,18 @@ def filter_scan(cloud: Cloud, cfg) -> Cloud:
             chunk=4096,
         )
     elif cfg.outlier_method == "statistical":
+        # all-pairs hierarchical top_k as ONE fused pass (density-robust,
+        # exact at any sparsity; see the 2.3× fused-vs-chunked measurement)
         c = statistical_outlier_removal(c, cfg.stat_outlier_k,
-                                        cfg.stat_outlier_stddev, chunk=4096)
+                                        cfg.stat_outlier_stddev)
+    elif cfg.outlier_method == "statistical_bucketed":
+        # spatially bucketed O(N·candidates) variant — wins when the cloud is
+        # DENSE enough that d_k < stat_bucket_mult·voxel_size for most rows
+        # (real-LiDAR density); the voxel downsample above bounds bucket
+        # occupancy at stat_bucket_mult³ so ranges cannot overflow
+        c = statistical_outlier_removal_bucketed(
+            c, cfg.stat_outlier_k, cfg.stat_outlier_stddev,
+            bucket_size=cfg.stat_bucket_mult * cfg.voxel_size,
+            cap=cfg.stat_bucket_mult ** 3,
+            fallback_rows=cfg.stat_fallback_rows)
     return compact(c, cfg.max_points)

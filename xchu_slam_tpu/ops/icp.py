@@ -47,7 +47,14 @@ class IcpResult(NamedTuple):
     T: jnp.ndarray           # float32[4,4] source→target
     fitness: jnp.ndarray     # float32 — mean sq corr distance (PCL semantics)
     iterations: jnp.ndarray  # int32
-    converged: jnp.ndarray   # bool
+    converged: jnp.ndarray   # bool — terminated via the transform-delta
+    # epsilon (PCL criterion) or the error-plateau exit, NOT the iteration
+    # cap. NOTE a deliberate tightening vs PCL: `hasConverged()` there
+    # returns true even on a max-iterations exit (failure_after_max_iter_
+    # defaults false), so `icp.hasConverged()` at pgo_node.cpp:443 virtually
+    # never rejects capped ICP — here a verification still moving at the cap
+    # is reported unconverged and the loop gate rejects it (tested on both
+    # engines: test_verify_rejects_unconverged_icp).
 
 
 def _nearest(src, src_mask, tgt, tgt_mask, chunk):
@@ -127,7 +134,27 @@ def align(src, src_mask, tgt, tgt_mask, init_T, spec: IcpSpec,
              jnp.array([[0.0, 0.0, 0.0, 1.0]], R.dtype)], 0)
         T_new = se3.compose(dT, T)
         err = reduce_(jnp.sum(d2 * w)) / wsum
-        conv = jnp.abs(prev_err - err) < spec.trans_eps
+        # PCL transformation-epsilon criterion (pgo_node.cpp:441 relies on
+        # setTransformationEpsilon(1e-6), applied by DefaultConvergenceCriteria
+        # to the per-iteration transform DELTA): squared translation delta
+        # below eps AND rotation delta below the matching angular scale
+        # (2·(1−cosθ) ≈ θ²). The error-plateau exit is kept as a secondary
+        # criterion (PCL's relative-MSE criterion analogue) — an ICP whose
+        # error has plateaued but whose transform is still moving (e.g.
+        # sliding along a self-similar surface) does NOT set it alone; see
+        # test_plateaued_error_moving_transform_not_converged.
+        trans_delta2 = jnp.sum(t * t)
+        cos_theta = 0.5 * (jnp.trace(R) - 1.0)
+        rot_delta2 = 2.0 * (1.0 - jnp.clip(cos_theta, -1.0, 1.0))
+        conv_transform = (trans_delta2 < spec.trans_eps) & (
+            rot_delta2 < spec.trans_eps)
+        conv_plateau = jnp.abs(prev_err - err) < spec.trans_eps
+        # the plateau exit only counts when the transform has also settled
+        # to within a loose bound (1 cm² / ~0.57°): f32 Procrustes noise can
+        # hold |Δt|² just above a 1e-6 eps forever, but a genuinely MOVING
+        # transform with flat error must not read as converged
+        settled = (trans_delta2 < 1e-4) & (rot_delta2 < 1e-4)
+        conv = conv_transform | (conv_plateau & settled)
         return T_new, it + 1, conv, err
 
     def cond(state):

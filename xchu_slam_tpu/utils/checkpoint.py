@@ -89,7 +89,19 @@ def _migrate_legacy(data: dict) -> None:
              np.asarray(data[f"{p}.icov"], np.float32),
              np.asarray(data[f"{p}.valid"], np.float32)[:, None]], axis=-1)
     if "state.scan_count" in data and "state.last_stamp" not in data:
-        data["state.last_stamp"] = np.float32(0.0)
+        # seed from the newest stamp in the restored log ring (row column 10)
+        # rather than 0.0: with use_imu the first post-resume scan computes
+        # dt = stamp − last_stamp for the velocity reset, and a zero seed
+        # makes dt the ABSOLUTE stamp (possibly hundreds of seconds) — the
+        # reset velocity then snaps to ~0 and the first NDT guess degrades
+        last = np.float32(0.0)
+        if "state.log" in data and "state.scan_count" in data:
+            log = np.asarray(data["state.log"])
+            n = int(np.asarray(data["state.scan_count"]))
+            if log.ndim == 2 and log.shape[1] >= 11 and n > 0:
+                rows = log[:min(n, log.shape[0])]
+                last = np.float32(rows[:, 10].max())
+        data["state.last_stamp"] = last
 
 
 def load_checkpoint(path: str):
