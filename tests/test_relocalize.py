@@ -84,6 +84,61 @@ def test_off_map_query_rejected(mapped_session):
     assert not r.found
 
 
+def test_session_continuation_merges_maps(mapped_session):
+    """Map reuse, not just relocalization (VERDICT r3 stretch): continue a
+    saved session — relocalize session B's first scan into session A's map,
+    append B's keyframes/factors to A's graph, and verify B's later
+    revisits loop-close against A's keyframes. The merged map's ATE on B's
+    keyframes must beat mapping B alone (whose only correction is its own
+    lap closure)."""
+    from xchu_slam_tpu.models.continue_session import continue_session
+
+    cfg, world, gt, gt_rel, pipe, path = mapped_session
+    rng = np.random.default_rng(55)
+    # sparser scans than session A -> session B's odometry drifts more,
+    # which is exactly what the cross-session loops must correct
+    scans = [sim.render_scan(world, p, rng, n_points=5000, max_range=50.0)
+             for p in gt]
+
+    cont = continue_session(path, scans[0][0], scans[0][1], stamp=1000.0)
+    K0 = cont.continuation["old_keyframes"]
+    assert K0 > 20
+    assert np.linalg.norm(cont.continuation["reloc_pose"][:2]
+                          - gt_rel[0, :2, 3]) < 2.0
+    for i in range(1, len(scans)):
+        cl = make_cloud(*scans[i], capacity=cfg.filter.max_raw_points)
+        cont.process_scan(cl, stamp=1000.0 + i)
+    cont.finalize()
+    assert cont.kf_count > K0 + 20          # B's keyframes appended
+
+    # at least one loop closing B (j >= K0) against A's map (i < K0);
+    # the continuation seed itself contributes one — require another from
+    # the in-session detection chain as well
+    li = np.asarray(cont.graph.loop_i[:cont.loop_count])
+    lj = np.asarray(cont.graph.loop_j[:cont.loop_count])
+    cross = [(int(a), int(b)) for a, b in zip(li, lj) if b >= K0 and a < K0]
+    assert len(cross) >= 2, f"cross-session loops: {cross}"
+
+    def _new_kf_ate(p, k_from, stamp0):
+        st, _, opt = p.keyframe_trajectory()
+        sel = np.arange(p.kf_count) >= k_from
+        gi = np.round(st[sel] - stamp0).astype(int)
+        ok = (gi >= 0) & (gi < len(gt))
+        return float(np.sqrt(np.mean(np.sum(
+            (opt[sel][ok][:, :3] - gt_rel[gi[ok], :3, 3]) ** 2, axis=1))))
+
+    ate_merged = _new_kf_ate(cont, K0, 1000.0)
+
+    alone = DeviceSlamPipeline(cfg, kf_points=4096, log_capacity=256)
+    for i, (xyz, inten) in enumerate(scans):
+        cl = make_cloud(xyz, inten, capacity=cfg.filter.max_raw_points)
+        alone.process_scan(cl, stamp=1.0 * i)
+    alone.finalize()
+    ate_alone = _new_kf_ate(alone, 0, 0.0)
+    assert ate_merged < ate_alone, (ate_merged, ate_alone)
+    assert ate_merged < 1.0, ate_merged
+
+
 def test_checkpoint_roundtrip_localizer(mapped_session):
     cfg, world, gt, gt_rel, pipe, path = mapped_session
     loc = localizer_from_checkpoint(path)

@@ -278,6 +278,15 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
         d = a - b
         return jnp.linalg.norm(d[:3]) + 60.0 * jnp.linalg.norm(d[3:])
 
+    # convergence accepted only this close (in _moved units) to the pose the
+    # neighborhood was gathered at: with regather_dist=0 every iteration
+    # gathers at `pose` and a converged step moves ≤ 61·trans_eps (direction
+    # is 6-D unit, _moved weights rotation by 60), so this is non-binding
+    # there; with frozen neighborhoods (regather_dist>0) it forces ONE fresh
+    # gather before convergence may be declared — the stale-∇ bias cannot
+    # silently terminate the solve.
+    stale_tol = 61.0 * nspec.trans_eps
+
     def newton_body(state):
         pose, it, _converged, _, ctx, ctx_pose = state
         regather = _moved(pose, ctx_pose) > nspec.regather_dist
@@ -293,7 +302,13 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
         alpha0 = jnp.minimum(dpn, nspec.step_size)
         alpha = line_search(pose, direction, phi0, dphi0, alpha0, ctx)
         new_pose = pose + alpha * direction
-        converged = alpha < nspec.trans_eps
+        conv_raw = alpha < nspec.trans_eps
+        fresh = _moved(new_pose, ctx_pose) <= stale_tol
+        converged = conv_raw & fresh
+        # converged on a stale neighborhood: force a refresh next iteration
+        # (push ctx_pose far away so the regather predicate fires)
+        ctx_pose = jnp.where(conv_raw & ~fresh,
+                             ctx_pose + jnp.float32(1e6), ctx_pose)
         return new_pose, it + 1, converged, alpha, ctx, ctx_pose
 
     def newton_cond(state):
