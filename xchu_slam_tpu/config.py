@@ -69,6 +69,11 @@ class NdtConfig:
     min_points_per_voxel: int = 6   # (voxel_grid_covariance_omp.h:204)
     eig_inflation: float = 0.01     # λ_min floor = 0.01·λ_max (_impl.hpp:343-357)
     line_search_max_trials: int = 10
+    regather_dist: float = 0.0      # reuse the DIRECT7 neighborhood across
+    # Newton iterations until the pose moves this far (m; rotation weighted —
+    # see ops.ndt.NdtSpec). 0.0 = fresh gather every iteration (reference
+    # behavior, ndt_omp_impl.hpp:231-245); convergence on a stale
+    # neighborhood is never accepted (a fresh-gather iteration is forced).
     source_points: int = 8192       # fixed NDT source cloud size
     # dense rolling voxel grid extent (voxels); ±(n/2)·resolution around anchor
     grid_x: int = 80

@@ -94,6 +94,6 @@ def align(src_xyz, src_mask, grid, init_pose, gspec: vm.GridSpec,
         ls_max_trials=spec.ls_max_trials,
         closed_form=False,
     )
-    pose, iters, conv = ndt.newton_align(loss, init_pose, nspec)
+    pose, iters, conv, _ctx, _phi = ndt.newton_align(loss, init_pose, nspec)
     return GicpResult(pose=pose, iterations=iters, converged=conv,
                       loss=loss(pose))

@@ -50,7 +50,12 @@ class NdtSpec(NamedTuple):
     # re-gather every Newton iteration (reference behavior); the gathered
     # neighborhood is still reused across that iteration's line-search trials
     # (3× fewer HBM gathers than naive autodiff). Values >0 freeze
-    # neighborhoods across iterations — measurably biases odometry; keep 0.
+    # neighborhoods across iterations; a stale-neighborhood convergence is
+    # never accepted (one fresh-gather iteration is forced). Measured on the
+    # bench phase1 workload (tools/regather_probe.py, TPU v5e): +3-5 %
+    # device-resident rate (83.2 → 85.9/86.9/87.3 at 0.15/0.3/0.6) but ATE
+    # degrades 0.73 → 0.93-1.27 m — mean Newton count is only ~1.9, so there
+    # is little to save and the stale-∇ bias is measurable. Keep 0.
 
 
 def spec_from_config(ndt_cfg) -> NdtSpec:
@@ -62,6 +67,7 @@ def spec_from_config(ndt_cfg) -> NdtSpec:
         resolution=ndt_cfg.resolution,
         ls_max_trials=ndt_cfg.line_search_max_trials,
         closed_form=getattr(ndt_cfg, "use_closed_form", True),
+        regather_dist=getattr(ndt_cfg, "regather_dist", 0.0),
     )
 
 
@@ -82,6 +88,14 @@ class AlignResult(NamedTuple):
     score: jnp.ndarray         # float32 — final NDT loss (lower = better fit)
     matched_frac: jnp.ndarray  # float32 — fraction of source pts hitting ≥1 voxel
     fitness: jnp.ndarray       # float32 — mean sq dist to matched voxel means
+    # score/matched_frac/fitness are DIAGNOSTICS (odom log only; loop
+    # acceptance uses the ICP verifier's fitness, not these). On the
+    # closed-form path they are computed from the final Newton iteration's
+    # state — score is the line-search φ at the accepted pose and the
+    # matched/fitness stats reuse the last-gathered DIRECT7 neighborhood
+    # (≤ step_size = 0.1 m staler than the pose, vs 2 m voxels) — instead
+    # of a fresh post-loop evaluation, saving one full HBM gather per align
+    # (measured ~2-4 ms/scan, see PERF.md).
 
 
 def ndt_loss(pose, src_xyz, src_mask, grid, gspec: vm.GridSpec,
@@ -111,12 +125,17 @@ def ndt_loss(pose, src_xyz, src_mask, grid, gspec: vm.GridSpec,
     return local
 
 
-def _fitness(pose, src_xyz, src_mask, grid, gspec, reduce_=lambda x: x):
+def _fitness(pose, src_xyz, src_mask, grid, gspec, reduce_=lambda x: x,
+             nb=None):
     """Diagnostics: matched fraction + mean squared distance to the nearest
     DIRECT7 voxel mean (analogue of `getFitnessScore`). `reduce_` combines
-    per-shard partial sums when points are sharded over a mesh."""
+    per-shard partial sums when points are sharded over a mesh. With `nb`,
+    a precomputed DIRECT7 neighborhood (gathered ≤ one line-search step from
+    `pose`) is reused instead of a fresh HBM gather."""
     pts = se3.rotate_translate(pose, src_xyz)
-    mean_w, _, vvalid = vm.lookup7(grid, gspec, pts)
+    if nb is None:
+        nb = vm.lookup7(grid, gspec, pts)
+    mean_w, _, vvalid = nb
     d2_ = jnp.sum((pts[:, None, :] - mean_w) ** 2, -1)
     d2_ = jnp.where(vvalid, d2_, jnp.inf)
     dmin = jnp.min(d2_, axis=1)
@@ -211,7 +230,12 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
     max_iterations is hit.
 
     With `vgh`/`vg` provided (closed-form fused derivatives, ops.ndt_deriv),
-    each Newton iteration is ~3 data passes instead of ~13 autodiff passes."""
+    each Newton iteration is ~3 data passes instead of ~13 autodiff passes.
+
+    Returns (pose, iterations, converged, ctx_final, phi_final): ctx_final is
+    the last `prepare` context (the DIRECT7 neighborhood on the closed-form
+    path) and phi_final the loss at the accepted pose, both carried out of
+    the loop so callers can derive diagnostics without re-evaluating."""
     if vgh is None:
         _vg = jax.value_and_grad(loss)
         _hess = jax.hessian(loss)
@@ -235,11 +259,11 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
                 return phi_a, jnp.dot(g_a, direction)
 
         def cond(state):
-            a, t, done, best_a, best_phi = state
+            a, t, done, best_a, best_phi, phi_acc = state
             return (~done) & (t < nspec.ls_max_trials)
 
         def body(state):
-            a, t, done, best_a, best_phi = state
+            a, t, done, best_a, best_phi, phi_acc = state
             phi_a, dphi_a = phi_dphi(a)
             suff = phi_a <= phi0 + mu * a * dphi0
             curv = jnp.abs(dphi_a) <= nu * jnp.abs(dphi0)
@@ -262,17 +286,26 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
             # instead of re-evaluating the identical trial point — the result
             # (best_a) is unchanged, the redundant ∇-passes are not
             stuck = jnp.abs(a_next - a) < 1e-12 * jnp.maximum(a, 1e-12)
+            # φ at the trial the loop ends on: the accepted trial, or (on a
+            # stuck exit) the stalled trial a_next ≈ a whose φ ≈ phi_a
+            phi_acc = jnp.where(accept | stuck, phi_a, phi_acc)
             return (jnp.where(accept, a, a_next), t + 1,
-                    done | accept | stuck, best_a, best_phi)
+                    done | accept | stuck, best_a, best_phi, phi_acc)
 
-        a_fin, _, accepted, best_a, best_phi = jax.lax.while_loop(
+        a_fin, _, accepted, best_a, best_phi, phi_acc = jax.lax.while_loop(
             cond, body, (alpha0, jnp.int32(0), jnp.bool_(False),
-                         jnp.float32(0.0), jnp.float32(jnp.inf)),
+                         jnp.float32(0.0), jnp.float32(jnp.inf),
+                         jnp.float32(jnp.inf)),
         )
+        # `accepted` here means the loop's accept predicate fired at least
+        # once before exit; phi_acc is φ at that trial (`a_fin`)
         a_out = jnp.where(accepted, a_fin, best_a)
-        # if nothing improved over phi0, take no step
+        phi_out = jnp.where(accepted, phi_acc, best_phi)
+        # if nothing improved over phi0, take no step (φ stays at phi0)
         improved = best_phi < phi0
-        return jnp.where(accepted | improved, a_out, 0.0)
+        take = accepted | improved
+        return (jnp.where(take, a_out, 0.0),
+                jnp.where(take, phi_out, phi0))
 
     def _moved(a, b):
         d = a - b
@@ -288,7 +321,7 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
     stale_tol = 61.0 * nspec.trans_eps
 
     def newton_body(state):
-        pose, it, _converged, _, ctx, ctx_pose = state
+        pose, it, _converged, _, ctx, ctx_pose, _phi = state
         regather = _moved(pose, ctx_pose) > nspec.regather_dist
         ctx = jax.lax.cond(regather, lambda _: prepare(pose), lambda c: c, ctx)
         ctx_pose = jnp.where(regather, pose, ctx_pose)
@@ -300,7 +333,7 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
         direction = dp / dpn
         dphi0 = jnp.dot(g, direction)
         alpha0 = jnp.minimum(dpn, nspec.step_size)
-        alpha = line_search(pose, direction, phi0, dphi0, alpha0, ctx)
+        alpha, phi_fin = line_search(pose, direction, phi0, dphi0, alpha0, ctx)
         new_pose = pose + alpha * direction
         conv_raw = alpha < nspec.trans_eps
         fresh = _moved(new_pose, ctx_pose) <= stale_tol
@@ -309,20 +342,20 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
         # (push ctx_pose far away so the regather predicate fires)
         ctx_pose = jnp.where(conv_raw & ~fresh,
                              ctx_pose + jnp.float32(1e6), ctx_pose)
-        return new_pose, it + 1, converged, alpha, ctx, ctx_pose
+        return new_pose, it + 1, converged, alpha, ctx, ctx_pose, phi_fin
 
     def newton_cond(state):
         return (~state[2]) & (state[1] < nspec.max_iterations)
 
     init_pose = jnp.asarray(init_pose, jnp.float32)
     ctx0 = prepare(init_pose)
-    pose, iters, converged, _, _, _ = jax.lax.while_loop(
+    pose, iters, converged, _, ctx_fin, _, phi_fin = jax.lax.while_loop(
         newton_cond,
         newton_body,
         (init_pose, jnp.int32(0), jnp.bool_(False), jnp.float32(jnp.inf),
-         ctx0, jnp.array(init_pose)),
+         ctx0, jnp.array(init_pose), jnp.float32(jnp.inf)),
     )
-    return pose, iters, converged
+    return pose, iters, converged, ctx_fin, phi_fin
 
 
 def shard_allsum(x, axis: str):
@@ -393,8 +426,9 @@ def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
             L, g = reduce_((L, g))
             return L, g
 
-        pose, iters, converged = newton_align(loss, init_pose, nspec,
-                                              vgh=vgh, vg=vg, prepare=prepare)
+        pose, iters, converged, ctx_fin, phi_fin = newton_align(
+            loss, init_pose, nspec, vgh=vgh, vg=vg, prepare=prepare)
+        nb_fin = ctx_fin
     else:
         # sharded autodiff fallback: reverse-mode transposes of the in-loss
         # collective can carry per-rank float skew, so g/H must be broadcast
@@ -403,9 +437,17 @@ def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
         # all_gathers (see newton_align's docstring)
         bcast = (lambda x: jax.lax.all_gather(x, axis)[0]) \
             if axis is not None else (lambda x: x)
-        pose, iters, converged = newton_align(loss, init_pose, nspec,
-                                              bcast=bcast)
-    score = ndt_loss(pose, xyz_l, mask_l, grid, gspec, d1, d2, psum_axis=axis)
-    frac, fitness = _fitness(pose, xyz_l, mask_l, grid, gspec, reduce_)
+        pose, iters, converged, _ctx, phi_fin = newton_align(
+            loss, init_pose, nspec, bcast=bcast)
+        nb_fin = None       # autodiff path carries no neighborhood ctx
+    # Diagnostics without a fresh post-loop evaluation (see AlignResult):
+    # score is the final line-search φ (the loss at the accepted pose, on the
+    # last-gathered neighborhood); fitness/matched reuse that neighborhood on
+    # the closed-form path. Requires ≥1 Newton iteration so φ is defined.
+    if nspec.max_iterations < 1:
+        raise ValueError("NdtSpec.max_iterations must be >= 1")
+    score = phi_fin
+    frac, fitness = _fitness(pose, xyz_l, mask_l, grid, gspec, reduce_,
+                             nb=nb_fin)
     return AlignResult(pose=pose, iterations=iters, converged=converged,
                        score=score, matched_frac=frac, fitness=fitness)

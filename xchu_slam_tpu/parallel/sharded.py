@@ -78,7 +78,7 @@ def sharded_ndt_align(mesh: Mesh, grid, src_xyz, src_mask, init_pose,
         def bcast(x):
             return jax.lax.all_gather(x, axis)[0]
 
-        return ndt.newton_align(loss, pose0, nspec, bcast=bcast)
+        return ndt.newton_align(loss, pose0, nspec, bcast=bcast)[:3]
 
     f = shard_map(
         body, mesh=mesh,
@@ -249,7 +249,8 @@ def slam_superstep(mesh: Mesh, grid, src_xyz, src_mask, pose_guess,
         def bcast(x):
             return jax.lax.all_gather(x, axis)[0]
 
-        pose, iters, _conv = ndt.newton_align(loss, pose0, nspec, bcast=bcast)
+        pose, iters, _conv = ndt.newton_align(loss, pose0, nspec,
+                                              bcast=bcast)[:3]
 
         # -- 2. descriptor (pmax of per-shard scatter-max) + retrieval -- #
         part = sc.descriptor_partial(xyz, mask, scspec)
