@@ -228,8 +228,13 @@ def statistical_outlier_removal_bucketed(
     When fed voxel-downsampled input (filter_scan's pipeline order) with
     `bucket_size = m·voxel_size`, bucket occupancy is bounded by m³ ≤ `cap`,
     so ranges can only overflow in the lattice-edge catch-all buckets.
-    Measured on TPU v5e at the KITTI-sim CLI shape (8192 pts, k=30):
-    32 ms (flat hierarchical top_k over all pairs) → ~5 ms."""
+    Cost is DENSITY-dependent: the win requires d_k < bucket_size for most
+    rows so the fallback stays small. At real-LiDAR density that holds; at
+    the synthetic-sim sparsity of `tools/mfu_probe.py`'s probe scan most
+    rows fall through to the exact fallback and the fused all-pairs filter
+    is faster (measured 22.96 vs 14.17 ms at the 8192-pt shape,
+    docs/artifacts/mfu.json) — which is why `statistical` (fused) is the
+    sim CLI default and this variant is opt-in."""
     n = cloud.xyz.shape[0]
     L = 3 * cap
     if L <= k + 1:
