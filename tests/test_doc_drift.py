@@ -18,12 +18,24 @@ def test_docs_match_artifacts():
 
 
 def test_perturbed_readme_is_caught():
-    """The checker must actually catch a doctored number: flip the first
-    digit of every registered quote in an in-memory README copy."""
+    """The checker must actually catch a doctored number: perturb every
+    digit of every README-registered quote in an in-memory copy (robust to
+    the quotes evolving across rounds — the perturbation is derived from
+    the registry, not hardcoded)."""
+    import json
+
     with open(os.path.join(REPO, "README.md")) as f:
         text = f.read()
-    perturbed = re.sub(r"0\.398", "0.983", text)
-    perturbed = perturbed.replace("83.5", "38.5").replace("37.5", "73.5")
+    with open(os.path.join(REPO, "docs", "claims.json")) as f:
+        reg = json.load(f)
+    quotes = [c.get("quote", str(c["value"])) for c in reg["claims"]
+              if "README.md" in c.get("quoted_in", [])]
+    assert quotes, "no README-quoted claims registered"
+    perturbed = text
+    for q in quotes:
+        doctored = re.sub(r"\d", lambda m: str(9 - int(m.group())), q)
+        perturbed = perturbed.replace(q, doctored)
+    assert perturbed != text
     failures = check_claims(REPO, doc_override={"README.md": perturbed})
     assert failures, "checker passed a deliberately perturbed README"
     assert any("README.md" in f for f in failures)
