@@ -151,7 +151,10 @@ def cmd_run_sim(args):
             feed = _TailView(scans)
         start_idx = 1 if kf_base else 0
         pf = DeviceChunkPrefetcher(feed, capacity=cfg.filter.max_raw_points,
-                                   chunk=args.chunk, depth=2, threads=2)
+                                   chunk=args.chunk,
+                                   depth=getattr(args, "prefetch_depth", 2),
+                                   threads=getattr(args, "prefetch_threads",
+                                                   2))
         base = start_idx
         chunk_ts = [time.perf_counter()]
         # per-chunk attribution: host wait on the prefetcher (render+stage+
@@ -661,6 +664,11 @@ def main(argv=None):
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--chunk", type=int, default=16,
                     help="scans per staged transfer / device dispatch")
+    ps.add_argument("--prefetch-depth", type=int, default=2,
+                    help="staged chunks in flight (deeper hides more of the "
+                    "relay's per-transfer h2d latency at the cost of HBM)")
+    ps.add_argument("--prefetch-threads", type=int, default=2,
+                    help="producer threads (render/read + stage + h2d)")
     ps.add_argument("--loop-method", default="sc",
                     choices=["sc", "isc", "radius", "none"])
     ps.add_argument("--out", default="out/sim")
