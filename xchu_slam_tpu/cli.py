@@ -83,6 +83,35 @@ def cmd_run_sim(args):
     gt_stamps, gt, world, index = _sim_world_and_traj(args)
     rng = np.random.default_rng(args.seed)
     n_scans = len(gt)
+    # session continuation loads FIRST, because the checkpoint's config
+    # governs the continued run (static capacities must match the saved
+    # state) — the IMU/wheel/GPS feed synthesis below must see that config,
+    # not the CLI-assembled one (round-4 review: synthesizing from the CLI
+    # config then swapping silently de-synced sensor feeds from the engine)
+    cont_pipe = None
+    kf_base = 0
+    if getattr(args, "continue_session", None):
+        if _make_cli_mesh(args.mesh) is not None:
+            raise SystemExit("--continue-session is single-device")
+        from xchu_slam_tpu.models.continue_session import continue_session
+        scans0 = sim.RenderedScans(world, gt, seed=args.seed,
+                                   n_points=24_000, index=index)
+        xyz0, inten0 = scans0[0]
+        with timers.time("compile"):
+            cont_pipe = continue_session(args.continue_session, xyz0, inten0,
+                                         stamp=float(gt_stamps[0]),
+                                         log_capacity=max(n_scans, 8192))
+        if (args.set or args.imu or args.wheel or args.gps
+                or args.loop_method != "sc"):
+            print("warning: --continue-session runs under the CHECKPOINT's "
+                  "config; CLI config flags (--set/--imu/--wheel/--gps/"
+                  "--loop-method) are ignored", file=sys.stderr)
+        cfg = cont_pipe.cfg
+        kf_base = cont_pipe.continuation["old_keyframes"]
+        print(f"continued session: relocalized to kf "
+              f"{cont_pipe.continuation['matched_kf']} "
+              f"(icp_fitness={cont_pipe.continuation['icp_fitness']:.3f}, "
+              f"{kf_base} saved keyframes)", file=sys.stderr)
     sensor_windows = None
     if cfg.odom.use_imu or cfg.odom.use_odom:
         # synthesize the reference's /kitti/oxts/imu + /odom_raw feeds along
@@ -106,26 +135,16 @@ def cmd_run_sim(args):
         scans = sim.RenderedScans(world, gt, seed=args.seed,
                                   n_points=24_000, index=index)
         mesh = _make_cli_mesh(args.mesh)
-        kf_base = 0
-        if getattr(args, "continue_session", None):
-            # session continuation (models/continue_session.py): relocalize
-            # scan 0 into the saved map and keep mapping in its frame. Uses
-            # the CHECKPOINT's config (static capacities must match the
-            # saved state); later loops close against both sessions.
-            if mesh is not None:
-                raise SystemExit("--continue-session is single-device")
-            from xchu_slam_tpu.models.continue_session import continue_session
-            xyz0, inten0 = scans[0]
+        if cont_pipe is not None:
+            # continuation seed done above; still warm the CHUNKED program
+            # set (a throwaway same-shapes pipeline populates the module-
+            # level jit caches) so the stream region measures streaming,
+            # not the first process_chunk's trace+compile
+            pipe = cont_pipe
             with timers.time("compile"):
-                pipe = continue_session(args.continue_session, xyz0, inten0,
-                                        stamp=float(gt_stamps[0]),
-                                        log_capacity=max(n_scans, 8192))
-            cfg = pipe.cfg
-            kf_base = pipe.continuation["old_keyframes"]
-            print(f"continued session: relocalized to kf "
-                  f"{pipe.continuation['matched_kf']} "
-                  f"(icp_fitness={pipe.continuation['icp_fitness']:.3f}, "
-                  f"{kf_base} saved keyframes)", file=sys.stderr)
+                _warm_device_engine(cfg, scans, kf_points=pipe.kf_points,
+                                    log_capacity=max(n_scans, 8192),
+                                    chunk=args.chunk)
         else:
             with timers.time("compile"):
                 _warm_device_engine(cfg, scans,
@@ -258,7 +277,9 @@ def cmd_run_sim(args):
         "end_drift_m": round(drift, 3),
         "length_m": round(length, 1),
         "drift_pct": round(100.0 * drift / max(length, 1e-9), 3),
-        "scans_per_sec": round(n_scans / wall, 2),
+        # continuation: scan 0 is consumed by the seed (before the timed
+        # region), so rates divide by the scans actually streamed
+        "scans_per_sec": round((n_scans - (1 if kf_base else 0)) / wall, 2),
         "artifacts": paths,
     }
     if kf_base:
@@ -271,7 +292,8 @@ def cmd_run_sim(args):
         # sustained streaming rate, excluding one-time costs (XLA compile,
         # the relay's first-readback stall in finalize)
         summary["stream_scans_per_sec"] = round(
-            n_scans / (chunk_ts[-1] - chunk_ts[0]), 2)
+            (n_scans - (1 if kf_base else 0))
+            / (chunk_ts[-1] - chunk_ts[0]), 2)
         # chunk-time tail attribution: split each chunk into prefetcher wait
         # (host render/stage + h2d backlog) and process_chunk time (dispatch
         # + the every-sync_every-chunks block_until_ready, which absorbs the

@@ -31,6 +31,11 @@ class FilterConfig:
     radius_outlier_min_neighbors: int = 5
     stat_outlier_k: int = 30             # (filter_node.cpp:255-262)
     stat_outlier_stddev: float = 1.0
+    stat_chunk: int = 0                  # row-chunk for the statistical
+    # filter's pairwise pass: 0 = auto (one fused pass — fastest, measured
+    # 2.3× over chunking — while max_points ≤ 16384; row-chunked above that
+    # so the [n,n] f32 distance matrix stays bounded instead of growing
+    # quadratically with the post-downsample capacity)
     # spatially-bucketed statistical filter (ops/filter.py): bucket size is
     # stat_bucket_mult·voxel_size (occupancy then bounded by the downsample),
     # unproven rows re-solved exactly up to stat_fallback_rows per scan

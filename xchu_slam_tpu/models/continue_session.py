@@ -78,6 +78,12 @@ def continue_session(checkpoint_path: str, first_xyz, first_intensity=None,
     reloc_pose = jnp.asarray(r.pose, jnp.float32)
 
     # -- 2. store the first new keyframe K0, tied to the old graph --------- #
+    # COUPLING: the db._replace field set and descriptor construction below
+    # mirror device_pipeline._add_keyframe_branch (and the log row mirrors
+    # _seed_body's 16-column format) as a one-time HOST-side seed — the
+    # traced branch cannot be reused for a host edit of restored state. A
+    # db/log layout or descriptor-source change there must be mirrored here
+    # (tests/test_relocalize.py's continuation round-trip catches drift).
     filt = filter_scan(cloud, cfg.filter)
     spec = dp.spec_from_config(cfg, kf_points=old.kf_points,
                                log_capacity=log_capacity)

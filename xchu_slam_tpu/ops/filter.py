@@ -365,9 +365,15 @@ def filter_scan(cloud: Cloud, cfg) -> Cloud:
         )
     elif cfg.outlier_method == "statistical":
         # all-pairs hierarchical top_k as ONE fused pass (density-robust,
-        # exact at any sparsity; see the 2.3× fused-vs-chunked measurement)
+        # exact at any sparsity; see the 2.3× fused-vs-chunked measurement).
+        # Above 16k post-downsample capacity the fused [n,n] f32 matrix
+        # grows quadratically (32k → 4 GiB), so auto-fall back to row
+        # chunking unless the config pins a chunk explicitly.
+        chunk = getattr(cfg, "stat_chunk", 0) or None
+        if chunk is None and cfg.max_points > 16384:
+            chunk = 8192
         c = statistical_outlier_removal(c, cfg.stat_outlier_k,
-                                        cfg.stat_outlier_stddev)
+                                        cfg.stat_outlier_stddev, chunk=chunk)
     elif cfg.outlier_method == "statistical_bucketed":
         # spatially bucketed O(N·candidates) variant — wins when the cloud is
         # DENSE enough that d_k < stat_bucket_mult·voxel_size for most rows

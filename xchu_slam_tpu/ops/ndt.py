@@ -50,12 +50,14 @@ class NdtSpec(NamedTuple):
     # re-gather every Newton iteration (reference behavior); the gathered
     # neighborhood is still reused across that iteration's line-search trials
     # (3× fewer HBM gathers than naive autodiff). Values >0 freeze
-    # neighborhoods across iterations; a stale-neighborhood convergence is
-    # never accepted (one fresh-gather iteration is forced). Measured on the
-    # bench phase1 workload (tools/regather_probe.py, TPU v5e): +3-5 %
-    # device-resident rate (83.2 → 85.9/86.9/87.3 at 0.15/0.3/0.6) but ATE
-    # degrades 0.73 → 0.93-1.27 m — mean Newton count is only ~1.9, so there
-    # is little to save and the stale-∇ bias is measurable. Keep 0.
+    # neighborhoods across iterations; convergence is only accepted on an
+    # iteration that regathered, so a stale gradient can never terminate the
+    # solve. Measured on the bench phase1 workload (tools/regather_probe.py,
+    # TPU v5e, docs/artifacts/regather_guarded.json): the forced fresh
+    # iteration raises mean Newton count 1.89 → 2.41 and regather_dist=0.3
+    # is strictly DOMINATED — 78.9 vs 90.7 scans/s and ATE 0.89 vs 0.73 m.
+    # Keep 0. (An earlier +3-5 % reading, docs/artifacts/regather.json, was
+    # taken while the staleness guard was non-binding — review finding.)
 
 
 def spec_from_config(ndt_cfg) -> NdtSpec:
@@ -311,18 +313,10 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
         d = a - b
         return jnp.linalg.norm(d[:3]) + 60.0 * jnp.linalg.norm(d[3:])
 
-    # convergence accepted only this close (in _moved units) to the pose the
-    # neighborhood was gathered at: with regather_dist=0 every iteration
-    # gathers at `pose` and a converged step moves ≤ 61·trans_eps (direction
-    # is 6-D unit, _moved weights rotation by 60), so this is non-binding
-    # there; with frozen neighborhoods (regather_dist>0) it forces ONE fresh
-    # gather before convergence may be declared — the stale-∇ bias cannot
-    # silently terminate the solve.
-    stale_tol = 61.0 * nspec.trans_eps
-
     def newton_body(state):
         pose, it, _converged, _, ctx, ctx_pose, _phi = state
-        regather = _moved(pose, ctx_pose) > nspec.regather_dist
+        moved0 = _moved(pose, ctx_pose)
+        regather = moved0 > nspec.regather_dist
         ctx = jax.lax.cond(regather, lambda _: prepare(pose), lambda c: c, ctx)
         ctx_pose = jnp.where(regather, pose, ctx_pose)
         phi0, g, H = vgh(pose, ctx)
@@ -336,10 +330,21 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
         alpha, phi_fin = line_search(pose, direction, phi0, dphi0, alpha0, ctx)
         new_pose = pose + alpha * direction
         conv_raw = alpha < nspec.trans_eps
-        fresh = _moved(new_pose, ctx_pose) <= stale_tol
+        # convergence may only be DECLARED on an iteration whose gradient was
+        # computed at a freshly gathered neighborhood: `fresh` means this
+        # iteration regathered at `pose`, or the pose never moved since the
+        # gather (moved0 ≈ 0 — e.g. the first iteration on ctx0). With
+        # regather_dist=0 that is every moving iteration (reference
+        # behavior); with frozen neighborhoods (regather_dist>0) a
+        # would-be convergence on a stale gradient instead forces one
+        # fresh-gather iteration (the ctx_pose push below fires the regather
+        # predicate next round) before the solve may terminate. (Round-4
+        # review: an earlier distance-threshold form of this guard was
+        # non-binding for every regather_dist < 61·trans_eps·~0.85 — the
+        # predicate must be "gathered this iteration", not "gathered
+        # nearby".)
+        fresh = regather | (moved0 <= 1e-9)
         converged = conv_raw & fresh
-        # converged on a stale neighborhood: force a refresh next iteration
-        # (push ctx_pose far away so the regather predicate fires)
         ctx_pose = jnp.where(conv_raw & ~fresh,
                              ctx_pose + jnp.float32(1e6), ctx_pose)
         return new_pose, it + 1, converged, alpha, ctx, ctx_pose, phi_fin
