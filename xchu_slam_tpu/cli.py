@@ -155,7 +155,10 @@ def cmd_run_sim(args):
                                       mesh=mesh)
         t0 = time.perf_counter()
         feed = scans
-        if kf_base:
+        # continuation keys on `cont_pipe is not None`, NOT kf_base truthiness:
+        # a checkpoint with zero keyframes must still skip the seed-consumed
+        # scan 0 and use the continued-run denominators (round-4 advice)
+        if cont_pipe is not None:
             # scan 0 was consumed by the continuation seed
             class _TailView:
                 def __init__(self, s):
@@ -168,7 +171,7 @@ def cmd_run_sim(args):
                     return self.s[k + 1]
 
             feed = _TailView(scans)
-        start_idx = 1 if kf_base else 0
+        start_idx = 1 if cont_pipe is not None else 0
         pf = DeviceChunkPrefetcher(feed, capacity=cfg.filter.max_raw_points,
                                    chunk=args.chunk,
                                    depth=getattr(args, "prefetch_depth", 2),
@@ -252,9 +255,9 @@ def cmd_run_sim(args):
     gtT = np.asarray(se3.pose_to_matrix(jnp.asarray(gt)))
     gt_rel = np.einsum("ab,nbc->nac", np.linalg.inv(gtT[0]), gtT)
     stamps, kf_odo, kf_opt = pipe.keyframe_trajectory()
-    kf_base = getattr(pipe, "continuation", None) and \
-        pipe.continuation["old_keyframes"] or 0
-    if kf_base:
+    cont = getattr(pipe, "continuation", None)
+    kf_base = cont["old_keyframes"] if cont is not None else 0
+    if cont is not None:
         # evaluate the CONTINUED session's keyframes only (the saved
         # session's stamps belong to its own run)
         stamps, kf_odo, kf_opt = (stamps[kf_base:], kf_odo[kf_base:],
@@ -279,10 +282,11 @@ def cmd_run_sim(args):
         "drift_pct": round(100.0 * drift / max(length, 1e-9), 3),
         # continuation: scan 0 is consumed by the seed (before the timed
         # region), so rates divide by the scans actually streamed
-        "scans_per_sec": round((n_scans - (1 if kf_base else 0)) / wall, 2),
+        "scans_per_sec": round(
+            (n_scans - (1 if cont is not None else 0)) / wall, 2),
         "artifacts": paths,
     }
-    if kf_base:
+    if cont is not None:
         summary["continuation"] = {
             **{k: v for k, v in pipe.continuation.items()
                if k != "reloc_pose"},
@@ -292,7 +296,7 @@ def cmd_run_sim(args):
         # sustained streaming rate, excluding one-time costs (XLA compile,
         # the relay's first-readback stall in finalize)
         summary["stream_scans_per_sec"] = round(
-            (n_scans - (1 if kf_base else 0))
+            (n_scans - (1 if cont is not None else 0))
             / (chunk_ts[-1] - chunk_ts[0]), 2)
         # chunk-time tail attribution: split each chunk into prefetcher wait
         # (host render/stage + h2d backlog) and process_chunk time (dispatch

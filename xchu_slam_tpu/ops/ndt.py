@@ -94,10 +94,13 @@ class AlignResult(NamedTuple):
     # acceptance uses the ICP verifier's fitness, not these). On the
     # closed-form path they are computed from the final Newton iteration's
     # state — score is the line-search φ at the accepted pose and the
-    # matched/fitness stats reuse the last-gathered DIRECT7 neighborhood
-    # (≤ step_size = 0.1 m staler than the pose, vs 2 m voxels) — instead
-    # of a fresh post-loop evaluation, saving one full HBM gather per align
-    # (measured ~2-4 ms/scan, see PERF.md).
+    # matched/fitness stats reuse the last-gathered DIRECT7 neighborhood —
+    # instead of a fresh post-loop evaluation, saving one full HBM gather
+    # per align (measured ~2-4 ms/scan, see PERF.md). Staleness bound: with
+    # the default regather_dist=0 (and on every CONVERGED exit, which
+    # requires a fresh gather) the neighborhood is ≤ step_size = 0.1 m
+    # staler than the pose, vs 2 m voxels; a max_iterations exit under
+    # regather_dist>0 can be up to ~regather_dist stale.
 
 
 def ndt_loss(pose, src_xyz, src_mask, grid, gspec: vm.GridSpec,
@@ -238,6 +241,12 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
     the last `prepare` context (the DIRECT7 neighborhood on the closed-form
     path) and phi_final the loss at the accepted pose, both carried out of
     the loop so callers can derive diagnostics without re-evaluating."""
+    # trace-time guard (nspec is static): phi_fin's initial value is inf, so
+    # a zero-iteration loop would return inf score to ANY caller — checked
+    # here so direct newton_align callers (gicp.align, parallel/sharded.py)
+    # are covered, not just ops.ndt.align (round-4 advice)
+    if nspec.max_iterations < 1:
+        raise ValueError("NdtSpec.max_iterations must be >= 1")
     if vgh is None:
         _vg = jax.value_and_grad(loss)
         _hess = jax.hessian(loss)
@@ -299,8 +308,11 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
                          jnp.float32(0.0), jnp.float32(jnp.inf),
                          jnp.float32(jnp.inf)),
         )
-        # `accepted` here means the loop's accept predicate fired at least
-        # once before exit; phi_acc is φ at that trial (`a_fin`)
+        # `accepted` = the done flag fired: accept predicate OR a stuck exit.
+        # On accept, phi_acc is φ at the accepted trial (`a_fin`); on a stuck
+        # exit a_fin is a_next with |a_next − a| below the stuck tolerance,
+        # so phi_acc (φ at the stalled trial `a`) approximates φ(a_fin) to
+        # that same tolerance.
         a_out = jnp.where(accepted, a_fin, best_a)
         phi_out = jnp.where(accepted, phi_acc, best_phi)
         # if nothing improved over phi0, take no step (φ stays at phi0)
@@ -448,9 +460,7 @@ def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
     # Diagnostics without a fresh post-loop evaluation (see AlignResult):
     # score is the final line-search φ (the loss at the accepted pose, on the
     # last-gathered neighborhood); fitness/matched reuse that neighborhood on
-    # the closed-form path. Requires ≥1 Newton iteration so φ is defined.
-    if nspec.max_iterations < 1:
-        raise ValueError("NdtSpec.max_iterations must be >= 1")
+    # the closed-form path. newton_align guarantees ≥1 iteration (φ defined).
     score = phi_fin
     frac, fitness = _fitness(pose, xyz_l, mask_l, grid, gspec, reduce_,
                              nb=nb_fin)
