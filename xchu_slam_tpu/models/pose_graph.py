@@ -306,8 +306,12 @@ def sharded_gn_solve(poses6, between_l, pairmask_l, eb, li_l, lj_l, lT_l,
     if axis is None:
         allred = lambda x: x
     else:
-        def allred(x):
-            return jnp.sum(jax.lax.all_gather(x, axis), 0)
+        from xchu_slam_tpu.utils import collectives
+
+        # packed: one allred call = one executed all-gather regardless of how
+        # many arrays it carries (utils/collectives.py) — the per-GN-iteration
+        # (g, blocks, U) reduction rides a single collective
+        allred = lambda x: collectives.shard_allsum(x, axis)
 
     odom_info = jnp.array([spec.odom_info_t] * 3 + [spec.odom_info_r] * 3,
                           jnp.float32)
@@ -350,7 +354,8 @@ def sharded_gn_solve(poses6, between_l, pairmask_l, eb, li_l, lj_l, lT_l,
         g = g.at[lj_l].add(jnp.einsum("fab,fa->fb", Jlj, wrl,
                                       precision=_PREC))
         g = g.at[kg].add(gps6((gz * r_g)[:, None] * A))
-        g = allred(g) * mask0
+        # g stays LOCAL here; it is reduced together with the preconditioner
+        # blocks (and U) below in one packed collective
 
         def hvp(v):
             """H v = JᵀW(Jv), assembled from the factor blocks — exactly the
@@ -394,9 +399,6 @@ def sharded_gn_solve(poses6, between_l, pairmask_l, eb, li_l, lj_l, lT_l,
         gouter = jnp.einsum("f,fa,fb->fab", gz, A, A, precision=_PREC)
         blocks = blocks.at[kg].add(
             jnp.pad(gouter, ((0, 0), (0, 3), (0, 3))))
-        blocks = allred(blocks)
-        blocks = blocks.at[0].set(jnp.eye(6))
-        blocks = blocks + 1e-6 * jnp.eye(6)[None]
 
         if spec.precond == "tridiag":
             # chain-exact preconditioner: M = H_chain + diag(loop/GPS/damping)
@@ -409,13 +411,22 @@ def sharded_gn_solve(poses6, between_l, pairmask_l, eb, li_l, lj_l, lT_l,
                             Jj, precision=_PREC) * wp[:, None, None]
             U = jnp.zeros((K, 6, 6), jnp.float32)
             U = U.at[ke].add(Uc)
-            U = allred(U)
+            # ONE packed collective reduces the whole GN iteration's
+            # cross-shard state (g, blocks, U) — was 3 all-gathers
+            g, blocks, U = allred((g, blocks, U))
+            g = g * mask0
+            blocks = blocks.at[0].set(jnp.eye(6))
+            blocks = blocks + 1e-6 * jnp.eye(6)[None]
             U = U.at[1].set(0.0)
             dsc, chols, Af = block_tridiag_factor(blocks, U)
 
             def precond(v):
                 return block_tridiag_solve(dsc, chols, Af, v)
         else:
+            g, blocks = allred((g, blocks))
+            g = g * mask0
+            blocks = blocks.at[0].set(jnp.eye(6))
+            blocks = blocks + 1e-6 * jnp.eye(6)[None]
             chol = jnp.linalg.cholesky(blocks)
 
             def precond(v):

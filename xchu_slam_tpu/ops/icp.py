@@ -123,7 +123,12 @@ def align(src, src_mask, tgt, tgt_mask, init_T, spec: IcpSpec,
         mu_t = s_t / wsum
         xs = (cur - mu_s) * w[:, None]
         xt = nn - mu_t
-        M = reduce_(jnp.matmul(xt.T, xs, precision=_PREC)) / wsum  # 3×3 cross-cov
+        # M and the error sum are independent given the means — ONE packed
+        # reduction carries both (shard_allsum packs leaves into a single
+        # all-gather), so an ICP iteration costs 2 collectives, not 5
+        M, err_sum = reduce_((jnp.matmul(xt.T, xs, precision=_PREC),
+                              jnp.sum(d2 * w)))
+        M = M / wsum  # 3×3 cross-cov
         U, _s, Vt = jnp.linalg.svd(M)
         det = jnp.linalg.det(jnp.matmul(U, Vt, precision=_PREC))
         S = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * 1.0).at[2, 2].set(det)
@@ -133,7 +138,7 @@ def align(src, src_mask, tgt, tgt_mask, init_T, spec: IcpSpec,
             [jnp.concatenate([R, t[:, None]], 1),
              jnp.array([[0.0, 0.0, 0.0, 1.0]], R.dtype)], 0)
         T_new = se3.compose(dT, T)
-        err = reduce_(jnp.sum(d2 * w)) / wsum
+        err = err_sum / wsum
         # PCL transformation-epsilon criterion (pgo_node.cpp:441 relies on
         # setTransformationEpsilon(1e-6), applied by DefaultConvergenceCriteria
         # to the per-iteration transform DELTA): squared translation delta

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from xchu_slam_tpu.ops import voxel_map as vm
-from xchu_slam_tpu.utils import linalg, se3
+from xchu_slam_tpu.utils import collectives, linalg, se3
 
 # imported late in the file's own functions; kept at module scope so tracing
 # never triggers a first import (module-level constants must not be tracers)
@@ -225,9 +225,11 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
     """Newton + More-Thuente-style line search, fully on-device, parameterized
     by an arbitrary loss callable (single-device or psum-reduced SPMD).
 
-    `bcast` forces control-flow inputs to be bit-identical across SPMD ranks
-    (reverse-mode transposes of collectives can carry per-rank float skew, and
-    skew in `while_loop` trip counts deadlocks in-loop collectives).
+    `bcast` (a pytree → pytree callable; applied once per iteration to the
+    packed (g, H) pair) forces control-flow inputs to be bit-identical across
+    SPMD ranks (reverse-mode transposes of collectives can carry per-rank
+    float skew, and skew in `while_loop` trip counts deadlocks in-loop
+    collectives).
 
     Mirrors `computeTransformation` (ndt_omp_impl.hpp:75-164): per iteration
     compute ∇/H, solve the 6×6 system, line-search the step length in
@@ -332,8 +334,7 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
         ctx = jax.lax.cond(regather, lambda _: prepare(pose), lambda c: c, ctx)
         ctx_pose = jnp.where(regather, pose, ctx_pose)
         phi0, g, H = vgh(pose, ctx)
-        g = bcast(g)
-        H = bcast(H)
+        g, H = bcast((g, H))
         dp = newton_direction(g, H)
         dpn = jnp.linalg.norm(dp) + 1e-12
         direction = dp / dpn
@@ -375,14 +376,10 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
     return pose, iters, converged, ctx_fin, phi_fin
 
 
-def shard_allsum(x, axis: str):
-    """Deterministic cross-device sum: all-gather the per-device partials and
-    sum them in a fixed order, so every rank computes bit-identical totals
-    (a plain `psum` may reduce in per-rank order; any skew in values that
-    feed `while_loop`/`cond` predicates would diverge trip counts across
-    ranks and deadlock the collectives inside the loop bodies)."""
-    return jax.tree.map(
-        lambda a: jnp.sum(jax.lax.all_gather(a, axis), 0), x)
+# deterministic cross-device sum, PACKED: one reduce call = one executed
+# all-gather regardless of leaf count — a Newton iteration's (L, g, H) rides
+# one 43-float collective (utils/collectives.py; VERDICT r4 item 2)
+shard_allsum = collectives.shard_allsum
 
 
 def _local_shard(arrs, axis: str):
@@ -452,7 +449,7 @@ def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
         # from rank 0 exactly like the closed-form path's reductions — a
         # divergent Newton/line-search trip count deadlocks the in-loop
         # all_gathers (see newton_align's docstring)
-        bcast = (lambda x: jax.lax.all_gather(x, axis)[0]) \
+        bcast = (lambda x: collectives.shard_bcast0(x, axis)) \
             if axis is not None else (lambda x: x)
         pose, iters, converged, _ctx, phi_fin = newton_align(
             loss, init_pose, nspec, bcast=bcast)

@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from xchu_slam_tpu.ops import ndt, scancontext as sc, voxel_map as vm
-from xchu_slam_tpu.utils import linalg, se3
+from xchu_slam_tpu.utils import collectives, linalg, se3
 
 try:  # jax>=0.6 stable API, with fallback for older trees
     from jax import shard_map
@@ -71,12 +71,13 @@ def sharded_ndt_align(mesh: Mesh, grid, src_xyz, src_mask, init_pose,
             return ndt.ndt_loss(p, xyz, mask, grid, gspec, d1, d2,
                                 psum_axis=axis)
 
-        # broadcast rank-0's gradients/Hessians: reverse-mode transposes of
-        # the collective can carry per-rank float skew, and any skew in
-        # control-flow inputs diverges `while_loop` trip counts across ranks,
-        # deadlocking the collectives inside the loop bodies.
+        # broadcast rank-0's gradients/Hessians (ONE packed all-gather for
+        # the (g, H) pair): reverse-mode transposes of the collective can
+        # carry per-rank float skew, and any skew in control-flow inputs
+        # diverges `while_loop` trip counts across ranks, deadlocking the
+        # collectives inside the loop bodies.
         def bcast(x):
-            return jax.lax.all_gather(x, axis)[0]
+            return collectives.shard_bcast0(x, axis)
 
         return ndt.newton_align(loss, pose0, nspec, bcast=bcast)[:3]
 
@@ -247,7 +248,7 @@ def slam_superstep(mesh: Mesh, grid, src_xyz, src_mask, pose_guess,
                                 psum_axis=axis)
 
         def bcast(x):
-            return jax.lax.all_gather(x, axis)[0]
+            return collectives.shard_bcast0(x, axis)
 
         pose, iters, _conv = ndt.newton_align(loss, pose0, nspec,
                                               bcast=bcast)[:3]
