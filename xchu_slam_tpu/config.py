@@ -74,6 +74,14 @@ class NdtConfig:
     min_points_per_voxel: int = 6   # (voxel_grid_covariance_omp.h:204)
     eig_inflation: float = 0.01     # λ_min floor = 0.01·λ_max (_impl.hpp:343-357)
     line_search_max_trials: int = 10
+    neighbor_mode: str = "direct7"  # voxel neighborhood per transformed point
+    # (reference pclomp::NeighborSearchMethod, ndt_omp.h:52-57, dispatch
+    # ndt_omp_impl.hpp:231-245): "direct1" = centre voxel only, "direct7" =
+    # centre + 6 faces (reference default), "direct26" = full 3x3x3 cube
+    # (PCL's getAllNeighborCellIndices = 26 neighbors + centre), "kdtree" =
+    # radiusSearch(resolution) over leaf centroids — implemented exactly as
+    # the 27-cube masked to centroid distance < resolution (any centroid
+    # within `resolution` of the query provably lies in the 27-cube).
     regather_dist: float = 0.0      # reuse the DIRECT7 neighborhood across
     # Newton iterations until the pose moves this far (m; rotation weighted —
     # see ops.ndt.NdtSpec). 0.0 = fresh gather every iteration (reference

@@ -45,6 +45,9 @@ class NdtSpec(NamedTuple):
     resolution: float = 2.0
     ls_max_trials: int = 10
     closed_form: bool = True  # fused analytic ∇/H (ndt_deriv) vs autodiff
+    neighbor_mode: str = "direct7"  # direct1 | direct7 | direct26 | kdtree
+    # (reference NeighborSearchMethod dispatch, ndt_omp_impl.hpp:231-245;
+    # see voxel_map._MODE_OFFSETS for the exact semantics of each)
     regather_dist: float = 0.0  # re-gather DIRECT7 neighborhoods after this
     # much effective movement (m; rotation weighted by max range). 0.0 =
     # re-gather every Newton iteration (reference behavior); the gathered
@@ -69,6 +72,7 @@ def spec_from_config(ndt_cfg) -> NdtSpec:
         resolution=ndt_cfg.resolution,
         ls_max_trials=ndt_cfg.line_search_max_trials,
         closed_form=getattr(ndt_cfg, "use_closed_form", True),
+        neighbor_mode=getattr(ndt_cfg, "neighbor_mode", "direct7"),
         regather_dist=getattr(ndt_cfg, "regather_dist", 0.0),
     )
 
@@ -104,7 +108,8 @@ class AlignResult(NamedTuple):
 
 
 def ndt_loss(pose, src_xyz, src_mask, grid, gspec: vm.GridSpec,
-             d1: float, d2: float, psum_axis: str | None = None):
+             d1: float, d2: float, psum_axis: str | None = None,
+             mode: str = "direct7"):
     """NDT negative-likelihood loss (lower is better; d1 < 0).
 
     With `psum_axis` set (inside `shard_map`), each device reduces its local
@@ -112,7 +117,7 @@ def ndt_loss(pose, src_xyz, src_mask, grid, gspec: vm.GridSpec,
     direct analogue of the reference's per-thread partial sums + serial
     reduction (`ndt_omp_impl.hpp:187-280`, SURVEY.md §2d P1/P5)."""
     pts = se3.rotate_translate(pose, src_xyz)
-    mean_w, icov6, vvalid = vm.lookup7(grid, gspec, pts)
+    mean_w, icov6, vvalid = vm.lookup_neighbors(grid, gspec, pts, mode)
     delta = pts[:, None, :] - mean_w
     q = linalg.sym6_matvec(icov6, delta)
     x = jnp.sum(delta * q, -1)
@@ -131,7 +136,7 @@ def ndt_loss(pose, src_xyz, src_mask, grid, gspec: vm.GridSpec,
 
 
 def _fitness(pose, src_xyz, src_mask, grid, gspec, reduce_=lambda x: x,
-             nb=None):
+             nb=None, mode: str = "direct7"):
     """Diagnostics: matched fraction + mean squared distance to the nearest
     DIRECT7 voxel mean (analogue of `getFitnessScore`). `reduce_` combines
     per-shard partial sums when points are sharded over a mesh. With `nb`,
@@ -139,7 +144,7 @@ def _fitness(pose, src_xyz, src_mask, grid, gspec, reduce_=lambda x: x,
     `pose`) is reused instead of a fresh HBM gather."""
     pts = se3.rotate_translate(pose, src_xyz)
     if nb is None:
-        nb = vm.lookup7(grid, gspec, pts)
+        nb = vm.lookup_neighbors(grid, gspec, pts, mode)
     mean_w, _, vvalid = nb
     d2_ = jnp.sum((pts[:, None, :] - mean_w) ** 2, -1)
     d2_ = jnp.where(vvalid, d2_, jnp.inf)
@@ -422,11 +427,12 @@ def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
 
     def loss(p):
         return ndt_loss(p, xyz_l, mask_l, grid, gspec, d1, d2,
-                        psum_axis=axis)
+                        psum_axis=axis, mode=nspec.neighbor_mode)
 
     if nspec.closed_form:
         def prepare(p):
-            return ndt_deriv.neighborhood(p, xyz_l, grid, gspec)
+            return ndt_deriv.neighborhood(p, xyz_l, grid, gspec,
+                                          mode=nspec.neighbor_mode)
 
         def vgh(p, nb):
             L, g, H = ndt_deriv.ndt_value_grad_hess(
@@ -460,6 +466,6 @@ def align(grid, src_xyz, src_mask, init_pose, gspec: vm.GridSpec,
     # the closed-form path. newton_align guarantees ≥1 iteration (φ defined).
     score = phi_fin
     frac, fitness = _fitness(pose, xyz_l, mask_l, grid, gspec, reduce_,
-                             nb=nb_fin)
+                             nb=nb_fin, mode=nspec.neighbor_mode)
     return AlignResult(pose=pose, iterations=iters, converged=converged,
                        score=score, matched_frac=frac, fitness=fitness)

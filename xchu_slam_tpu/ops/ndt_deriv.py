@@ -62,8 +62,10 @@ _PAIR_I = _np.array([0, 0, 0, 1, 1, 2])
 _PAIR_J = _np.array([0, 1, 2, 1, 2, 2])
 
 
-def neighborhood(pose, src_xyz, grid, gspec: vm.GridSpec):
-    """DIRECT7 neighborhood of the transformed source: (mean_w, icov6, valid).
+def neighborhood(pose, src_xyz, grid, gspec: vm.GridSpec,
+                 mode: str = "direct7"):
+    """DIRECT-mode neighborhood of the transformed source:
+    (mean_w, icov6, valid).
 
     Computed once per Newton iteration and reused for the line-search trial
     evaluations: trial steps are ≤ step_size (0.1 m) against 2 m voxels, so
@@ -73,7 +75,7 @@ def neighborhood(pose, src_xyz, grid, gspec: vm.GridSpec):
     iteration. Accuracy impact is validated in the odometry e2e tests."""
     R = se3_matrix(pose[3:6])
     pts = jnp.matmul(src_xyz, R.T, precision=_PREC) + pose[:3]
-    return vm.lookup7(grid, gspec, pts)
+    return vm.lookup_neighbors(grid, gspec, pts, mode)
 
 
 def se3_matrix(rpy):
@@ -83,7 +85,7 @@ def se3_matrix(rpy):
 
 def ndt_value_grad_hess(pose, src_xyz, src_mask, grid, gspec: vm.GridSpec,
                         d1: float, d2: float, want_hess: bool = True,
-                        nb=None):
+                        nb=None, mode: str = "direct7"):
     """(L, g [6], H [6,6]) — fused single pass over point×voxel pairs.
 
     With want_hess=False, H is returned as zeros (used by line-search
@@ -95,8 +97,8 @@ def ndt_value_grad_hess(pose, src_xyz, src_mask, grid, gspec: vm.GridSpec,
     pts = jnp.matmul(q, R.T, precision=_PREC) + pose[:3]
 
     if nb is None:
-        nb = vm.lookup7(grid, gspec, pts)
-    mean_w, icov6, vvalid = nb                                 # [N,7,·]
+        nb = vm.lookup_neighbors(grid, gspec, pts, mode)
+    mean_w, icov6, vvalid = nb                                 # [N,M,·]
     delta = pts[:, None, :] - mean_w                           # [N,7,3]
     Bd = linalg.sym6_matvec(icov6, delta)                      # [N,7,3]
     x = jnp.sum(delta * Bd, -1)                                # [N,7]
@@ -122,8 +124,9 @@ def ndt_value_grad_hess(pose, src_xyz, src_mask, grid, gspec: vm.GridSpec,
     H1 = 4.0 * s * s * jnp.einsum("nv,nvi,nvj->ij", c, a6, a6, precision=_PREC)
 
     # JᵀBJ: BJ = [Bcols | B·D_k];  B·D_k via sym6_matvec per k
-    BD = jnp.stack([linalg.sym6_matvec(icov6, D[:, None, :, k].repeat(7, 1))
-                    for k in range(3)], -1)                    # [N,7,3,3]
+    M = icov6.shape[1]  # neighborhood size (1/7/27 by mode)
+    BD = jnp.stack([linalg.sym6_matvec(icov6, D[:, None, :, k].repeat(M, 1))
+                    for k in range(3)], -1)                    # [N,M,3,3]
     Bmat = linalg.sym6_to_mat(icov6)                           # [N,7,3,3]
     BJ = jnp.concatenate([Bmat, BD], -1)                       # [N,7,3,6]
     Jfull = jnp.concatenate(

@@ -180,24 +180,46 @@ def recentre(grid: VoxelGrid, new_centre: jnp.ndarray, spec: GridSpec) -> VoxelG
     )
 
 
-# DIRECT7 face-neighbor offsets (reference getNeighborhoodAtPoint7,
-# voxel_grid_covariance_omp_impl.hpp:419-432): centre + ±x ±y ±z.
+# DIRECT lattice neighbor-offset tables (reference NeighborSearchMethod,
+# pclomp/ndt_omp.h:52-57; getNeighborhoodAtPoint{,7,1},
+# voxel_grid_covariance_omp_impl.hpp:373-441):
+#   direct1  = centre voxel only
+#   direct7  = centre + 6 face neighbors (reference default)
+#   direct26 = full 3×3×3 cube — PCL's getAllNeighborCellIndices() is the 26
+#              surrounding cells PLUS the zero column, i.e. 27 voxels
+#   kdtree   = radiusSearch(resolution) over leaf centroids; a centroid
+#              within `resolution` (euclidean) of the query lies within
+#              `resolution` per-axis, hence inside the 27-cube — so KDTREE
+#              is exactly the 27-cube masked to centroid distance < res
 # numpy, not jnp: module import must never mint tracers if it happens
 # inside a trace
 import numpy as _np  # noqa: E402
 
+_OFFSETS1 = _np.zeros((1, 3), _np.int32)
 _OFFSETS7 = _np.array(
     [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
     _np.int32,
 )
+_OFFSETS27 = _np.stack(_np.meshgrid(*([_np.arange(-1, 2, dtype=_np.int32)] * 3),
+                                    indexing="ij"), -1).reshape(-1, 3)
+
+_MODE_OFFSETS = {
+    "direct1": _OFFSETS1,
+    "direct7": _OFFSETS7,
+    "direct26": _OFFSETS27,
+    "kdtree": _OFFSETS27,
+}
 
 
-def lookup7(grid: VoxelGrid, spec: GridSpec, xyz: jnp.ndarray):
-    """For each query point gather its DIRECT7 neighborhood.
+def lookup_neighbors(grid: VoxelGrid, spec: GridSpec, xyz: jnp.ndarray,
+                     mode: str = "direct7"):
+    """For each query point gather its DIRECT-mode voxel neighborhood.
 
-    Returns (mean_world [N,7,3], icov6 [N,7,6], valid [N,7])."""
+    Returns (mean_world [N,M,3], icov6 [N,M,6], valid [N,M]) with
+    M = 1 / 7 / 27 by mode (see _MODE_OFFSETS)."""
+    offsets = _MODE_OFFSETS[mode]
     idx3, _ = _voxel_index3(spec, grid.origin, xyz)
-    nidx3 = idx3[:, None, :] + _OFFSETS7[None, :, :]
+    nidx3 = idx3[:, None, :] + offsets[None, :, :]
     inb = (
         (nidx3[..., 0] >= 0) & (nidx3[..., 0] < spec.gx)
         & (nidx3[..., 1] >= 0) & (nidx3[..., 1] < spec.gy)
@@ -210,13 +232,25 @@ def lookup7(grid: VoxelGrid, spec: GridSpec, xyz: jnp.ndarray):
     # ONE gather from the packed [mean|icov6|valid] table — the gather is the
     # NDT hot loop's dominant cost on TPU (PERF.md MFU table); fusing the
     # three table reads into one measured ~3× faster
-    rows = grid.fin[flat]                                      # [N,7,10]
+    rows = grid.fin[flat]                                      # [N,M,10]
     mean_l = rows[..., 0:3]
     icov = rows[..., 3:9]
     valid = (rows[..., 9] > 0.0) & inb
     corner = grid.origin + nidx3.astype(jnp.float32) * spec.resolution
     mean_w = corner + mean_l
+    if mode == "kdtree":
+        # the reference's KDTREE mode builds a kd-tree over occupied-leaf
+        # centroids and radius-searches with r = resolution
+        # (voxel_grid_covariance_omp.h:278-279, ndt_omp_impl.hpp:233);
+        # equivalent exact predicate: centroid within `resolution`
+        d2 = jnp.sum((xyz[:, None, :] - mean_w) ** 2, -1)
+        valid = valid & (d2 < spec.resolution ** 2)
     return mean_w, icov, valid
+
+
+def lookup7(grid: VoxelGrid, spec: GridSpec, xyz: jnp.ndarray):
+    """DIRECT7 neighborhood gather (the reference default mode)."""
+    return lookup_neighbors(grid, spec, xyz, "direct7")
 
 
 def occupied_count(grid: VoxelGrid) -> jnp.ndarray:
