@@ -74,6 +74,13 @@ class NdtConfig:
     min_points_per_voxel: int = 6   # (voxel_grid_covariance_omp.h:204)
     eig_inflation: float = 0.01     # λ_min floor = 0.01·λ_max (_impl.hpp:343-357)
     line_search_max_trials: int = 10
+    ls_mode: str = "backtrack"      # line-search algorithm: "backtrack"
+    # (Armijo+curvature backtrack, default), "mt_exact" (faithful live
+    # More-Thuente, transliterated from ndt_omp_impl.hpp:646-916 and
+    # oracle-tested trial-for-trial), "ref_clamped" (the reference's
+    # EXECUTED behavior: its interval_converged init at :806 makes the MT
+    # loop dead code, so every iteration takes clamp(|Δp|, eps/2,
+    # step_size) with zero trials). See ops.ndt.NdtSpec.ls_mode.
     neighbor_mode: str = "direct7"  # voxel neighborhood per transformed point
     # (reference pclomp::NeighborSearchMethod, ndt_omp.h:52-57, dispatch
     # ndt_omp_impl.hpp:231-245): "direct1" = centre voxel only, "direct7" =

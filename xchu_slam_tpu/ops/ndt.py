@@ -48,6 +48,22 @@ class NdtSpec(NamedTuple):
     neighbor_mode: str = "direct7"  # direct1 | direct7 | direct26 | kdtree
     # (reference NeighborSearchMethod dispatch, ndt_omp_impl.hpp:231-245;
     # see voxel_map._MODE_OFFSETS for the exact semantics of each)
+    ls_mode: str = "backtrack"  # line-search algorithm:
+    #   "backtrack"   (default) Armijo+curvature backtrack with quadratic
+    #                 interpolation — the round-1..4 behavior, accuracy-
+    #                 validated end to end;
+    #   "mt_exact"    faithful More-Thuente: trialValueSelectionMT /
+    #                 updateIntervalMT / psi-phi interval switching
+    #                 transliterated from ndt_omp_impl.hpp:646-916 with the
+    #                 search loop LIVE, under lax.while_loop (oracle-tested
+    #                 against a NumPy transliteration, trial-for-trial);
+    #   "ref_clamped" what the reference code actually EXECUTES: its
+    #                 `interval_converged = (step_max - step_min) > 0`
+    #                 initialization (ndt_omp_impl.hpp:806) is true for any
+    #                 sane step_min < step_max, so computeStepLengthMT's
+    #                 while-loop is dead code and every Newton iteration
+    #                 takes α = clamp(|Δp|, trans_eps/2, step_size) with
+    #                 zero line-search trials.
     regather_dist: float = 0.0  # re-gather DIRECT7 neighborhoods after this
     # much effective movement (m; rotation weighted by max range). 0.0 =
     # re-gather every Newton iteration (reference behavior); the gathered
@@ -73,6 +89,7 @@ def spec_from_config(ndt_cfg) -> NdtSpec:
         ls_max_trials=ndt_cfg.line_search_max_trials,
         closed_form=getattr(ndt_cfg, "use_closed_form", True),
         neighbor_mode=getattr(ndt_cfg, "neighbor_mode", "direct7"),
+        ls_mode=getattr(ndt_cfg, "ls_mode", "backtrack"),
         regather_dist=getattr(ndt_cfg, "regather_dist", 0.0),
     )
 
@@ -225,6 +242,138 @@ def newton_direction(g, H):
     return jnp.where(descent, dp, -(S * S) * g)
 
 
+def _safe_div(num, den):
+    """num/den with a sign-preserving floor on |den| (branch-free selects mean
+    unused branches must still be NaN-free)."""
+    tiny = 1e-30
+    den = jnp.where(jnp.abs(den) > tiny,
+                    den, jnp.where(den >= 0.0, tiny, -tiny))
+    return num / den
+
+
+def mt_trial_value(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t):
+    """Faithful branch-free transliteration of `trialValueSelectionMT`
+    (reference ndt_omp_impl.hpp:682-757): the four More-Thuente trial cases
+    with the cubic (eq 2.4.52/2.4.56 [Sun, Yuan 2006]), quadratic (2.4.2)
+    and secant (2.4.5) interpolating minimizers. sqrt arguments are clamped
+    to 0 and divisions floored so the unselected branches are NaN-free."""
+    # cubic through (a_l, f_l, g_l) and (a_t, f_t, g_t)
+    z1 = 3.0 * _safe_div(f_t - f_l, a_t - a_l) - g_t - g_l
+    w1 = jnp.sqrt(jnp.maximum(z1 * z1 - g_t * g_l, 0.0))
+    a_c1 = a_l + (a_t - a_l) * _safe_div(w1 - g_l - z1, g_t - g_l + 2.0 * w1)
+    # quadratic through (f_l, f_t, g_l)
+    a_q = a_l - 0.5 * (a_l - a_t) * _safe_div(
+        g_l, g_l - _safe_div(f_l - f_t, a_l - a_t))
+    case1 = jnp.where(jnp.abs(a_c1 - a_l) < jnp.abs(a_q - a_l),
+                      a_c1, 0.5 * (a_q + a_c1))
+    # secant through (g_l, g_t)
+    a_s = a_l - _safe_div(a_l - a_t, g_l - g_t) * g_l
+    case2 = jnp.where(jnp.abs(a_c1 - a_t) >= jnp.abs(a_s - a_t), a_c1, a_s)
+    a_t3 = jnp.where(jnp.abs(a_c1 - a_t) < jnp.abs(a_s - a_t), a_c1, a_s)
+    case3 = jnp.where(a_t > a_l,
+                      jnp.minimum(a_t + 0.66 * (a_u - a_t), a_t3),
+                      jnp.maximum(a_t + 0.66 * (a_u - a_t), a_t3))
+    # cubic through (a_u, f_u, g_u) and (a_t, f_t, g_t)
+    z4 = 3.0 * _safe_div(f_t - f_u, a_t - a_u) - g_t - g_u
+    w4 = jnp.sqrt(jnp.maximum(z4 * z4 - g_t * g_u, 0.0))
+    case4 = a_u + (a_t - a_u) * _safe_div(w4 - g_u - z4, g_t - g_u + 2.0 * w4)
+
+    sel1 = f_t > f_l
+    sel2 = g_t * g_l < 0.0
+    sel3 = jnp.abs(g_t) <= jnp.abs(g_l)
+    return jnp.where(sel1, case1,
+                     jnp.where(sel2, case2, jnp.where(sel3, case3, case4)))
+
+
+def mt_update_interval(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t):
+    """Faithful transliteration of `updateIntervalMT`
+    (reference ndt_omp_impl.hpp:646-677). Returns the updated endpoints and
+    the interval-converged flag (the U1/U2/U3 update cases; converged when
+    none applies, i.e. g_t·(a_l − a_t) == 0 with f_t ≤ f_l)."""
+    u1 = f_t > f_l
+    u2 = (~u1) & (g_t * (a_l - a_t) > 0.0)
+    u3 = (~u1) & (g_t * (a_l - a_t) < 0.0)
+    conv = (~u1) & (~u2) & (~u3)
+    n_a_u = jnp.where(u1, a_t, jnp.where(u3, a_l, a_u))
+    n_f_u = jnp.where(u1, f_t, jnp.where(u3, f_l, f_u))
+    n_g_u = jnp.where(u1, g_t, jnp.where(u3, g_l, g_u))
+    move_l = u2 | u3
+    n_a_l = jnp.where(move_l, a_t, a_l)
+    n_f_l = jnp.where(move_l, f_t, f_l)
+    n_g_l = jnp.where(move_l, g_t, g_l)
+    return n_a_l, n_f_l, n_g_l, n_a_u, n_f_u, n_g_u, conv
+
+
+def mt_exact_search(phi_dphi, phi0, dphi0, alpha0, nspec: NdtSpec):
+    """Faithful More-Thuente search (`computeStepLengthMT`,
+    ndt_omp_impl.hpp:762-916) with the search loop LIVE, under
+    `lax.while_loop`. Returns (a_t, phi(a_t), trials).
+
+    Transliteration notes (kept bit-faithful to the reference rather than
+    'fixed'):
+    - psi(a) = φ(a) − φ(0) − μ·a·φ'(0) and its derivative drive the OPEN
+      interval; after the interval closes (psi_t ≤ 0 ∧ dpsi_t ≥ 0) the raw φ
+      values take over, converting the stored endpoints with the reference's
+      own formulas (`:888-896` — including its `f = f + φ0 − μ·φ'(0)·a`
+      conversion, whose sign differs from the algebraic psi→phi inverse;
+      upstream PCL carries the same line).
+    - The reference initializes `interval_converged = (step_max − step_min)
+      > 0` (`:806`), which is TRUE for any sane configuration, so ITS loop
+      never executes (ls_mode="ref_clamped" reproduces that executed
+      behavior). This function is the algorithm as written/intended, loop
+      live — max trials, trial selection, clamping and Wolfe exit all per
+      the reference text."""
+    mu = jnp.float32(1e-4)
+    nu = jnp.float32(0.9)
+    step_min = jnp.float32(0.5 * nspec.trans_eps)   # caller passes eps/2
+    step_max = jnp.float32(nspec.step_size)
+    a_t0 = jnp.clip(alpha0, step_min, step_max)
+    phi_t0, dphi_t0 = phi_dphi(a_t0)
+    g0 = (1.0 - mu) * dphi0               # dpsi at a=0
+    zero = jnp.float32(0.0)
+
+    def wolfe(a_t, phi_t, dphi_t):
+        psi_t = phi_t - phi0 - mu * a_t * dphi0
+        return (psi_t <= 0.0) & (dphi_t <= -nu * dphi0)
+
+    def cond(st):
+        a_l, f_l, g_l, a_u, f_u, g_u, a_t, phi_t, dphi_t, open_, done, t = st
+        return (~done) & (t < nspec.ls_max_trials) & \
+            (~wolfe(a_t, phi_t, dphi_t))
+
+    def body(st):
+        a_l, f_l, g_l, a_u, f_u, g_u, a_t, phi_t, dphi_t, open_, done, t = st
+        psi_t = phi_t - phi0 - mu * a_t * dphi0
+        dpsi_t = dphi_t - mu * dphi0
+        f_t = jnp.where(open_, psi_t, phi_t)
+        g_t = jnp.where(open_, dpsi_t, dphi_t)
+        a_new = jnp.clip(
+            mt_trial_value(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t),
+            step_min, step_max)
+        phi_n, dphi_n = phi_dphi(a_new)
+        psi_n = phi_n - phi0 - mu * a_new * dphi0
+        dpsi_n = dphi_n - mu * dphi0
+        close = open_ & (psi_n <= 0.0) & (dpsi_n >= 0.0)
+        # endpoint psi→phi conversion on interval close (reference :888-896)
+        f_l = jnp.where(close, f_l + phi0 - mu * dphi0 * a_l, f_l)
+        g_l = jnp.where(close, g_l + mu * dphi0, g_l)
+        f_u = jnp.where(close, f_u + phi0 - mu * dphi0 * a_u, f_u)
+        g_u = jnp.where(close, g_u + mu * dphi0, g_u)
+        open_new = open_ & (~close)
+        ft_up = jnp.where(open_new, psi_n, phi_n)
+        gt_up = jnp.where(open_new, dpsi_n, dphi_n)
+        a_l, f_l, g_l, a_u, f_u, g_u, conv = mt_update_interval(
+            a_l, f_l, g_l, a_u, f_u, g_u, a_new, ft_up, gt_up)
+        return (a_l, f_l, g_l, a_u, f_u, g_u, a_new, phi_n, dphi_n,
+                open_new, conv, t + 1)
+
+    st = jax.lax.while_loop(
+        cond, body,
+        (zero, zero, g0, zero, zero, g0, a_t0, phi_t0, dphi_t0,
+         jnp.bool_(True), jnp.bool_(False), jnp.int32(0)))
+    return st[6], st[7], st[11]
+
+
 def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
                  vgh=None, vg=None, prepare=None):
     """Newton + More-Thuente-style line search, fully on-device, parameterized
@@ -275,6 +424,21 @@ def newton_align(loss, init_pose, nspec: NdtSpec, bcast=lambda x: x,
             def phi_dphi(a):
                 phi_a, g_a = vg(pose + a * direction, ctx)
                 return phi_a, jnp.dot(g_a, direction)
+
+        if nspec.ls_mode == "mt_exact":
+            a_mt, phi_mt, _trials = mt_exact_search(
+                phi_dphi, phi0, dphi0, alpha0, nspec)
+            return a_mt, phi_mt
+        if nspec.ls_mode == "ref_clamped":
+            # the reference's EXECUTED behavior (dead MT loop, see NdtSpec):
+            # α = clamp(|Δp|, trans_eps/2, step_size); the φ evaluation here
+            # is diagnostics-only (the reference likewise evaluates the
+            # derivatives at the stepped pose for its next iteration)
+            a = jnp.clip(alpha0, 0.5 * nspec.trans_eps, nspec.step_size)
+            phi_a, _ = phi_dphi(a)
+            return a, phi_a
+        if nspec.ls_mode != "backtrack":
+            raise ValueError(f"unknown ls_mode {nspec.ls_mode!r}")
 
         def cond(state):
             a, t, done, best_a, best_phi, phi_acc = state
