@@ -91,8 +91,6 @@ def cmd_run_sim(args):
     cont_pipe = None
     kf_base = 0
     if getattr(args, "continue_session", None):
-        if _make_cli_mesh(args.mesh) is not None:
-            raise SystemExit("--continue-session is single-device")
         from xchu_slam_tpu.models.continue_session import continue_session
         scans0 = sim.RenderedScans(world, gt, seed=args.seed,
                                    n_points=24_000, index=index)
@@ -100,7 +98,8 @@ def cmd_run_sim(args):
         with timers.time("compile"):
             cont_pipe = continue_session(args.continue_session, xyz0, inten0,
                                          stamp=float(gt_stamps[0]),
-                                         log_capacity=max(n_scans, 8192))
+                                         log_capacity=max(n_scans, 8192),
+                                         mesh=_make_cli_mesh(args.mesh))
         if (args.set or args.imu or args.wheel or args.gps
                 or args.loop_method != "sc"):
             print("warning: --continue-session runs under the CHECKPOINT's "
@@ -144,7 +143,7 @@ def cmd_run_sim(args):
             with timers.time("compile"):
                 _warm_device_engine(cfg, scans, kf_points=pipe.kf_points,
                                     log_capacity=max(n_scans, 8192),
-                                    chunk=args.chunk)
+                                    chunk=args.chunk, mesh=mesh)
         else:
             with timers.time("compile"):
                 _warm_device_engine(cfg, scans,

@@ -40,7 +40,8 @@ class ContinuationError(RuntimeError):
 
 def continue_session(checkpoint_path: str, first_xyz, first_intensity=None,
                      stamp: float = 0.0,
-                     log_capacity: int = 8192) -> dp.DeviceSlamPipeline:
+                     log_capacity: int = 8192,
+                     mesh=None) -> dp.DeviceSlamPipeline:
     """Load a saved session and return a DeviceSlamPipeline that continues it.
 
     The returned pipeline has already consumed `first_xyz` (relocalized and
@@ -49,9 +50,11 @@ def continue_session(checkpoint_path: str, first_xyz, first_intensity=None,
     relocalization fails (no retrieval hit or ICP verification failed) —
     callers may fall back to mapping a fresh session.
 
-    Single-device engine only (the continuation seed is a one-time host-side
-    state edit; mesh-mode runs can be resumed afterwards from a NEW
-    checkpoint of the continued pipeline if needed)."""
+    With `mesh` (a 1-axis `jax.sharding.Mesh`), the continued pipeline runs
+    as the SPMD mesh engine: the continuation seed itself is a one-time
+    host-side, collective-free state edit (relocalization + DB/graph
+    append), after which the seeded state is replicated onto the mesh and
+    all subsequent steps run sharded (VERDICT r4 item 8)."""
     from xchu_slam_tpu.utils.checkpoint import load_checkpoint
 
     old = load_checkpoint(checkpoint_path)
@@ -160,8 +163,10 @@ def continue_session(checkpoint_path: str, first_xyz, first_intensity=None,
     new_state = new_state._replace(log=new_state.log.at[0].set(row))
 
     pipe = dp.DeviceSlamPipeline(cfg, kf_points=old.kf_points,
-                                 log_capacity=log_capacity)
-    pipe.state = new_state
+                                 log_capacity=log_capacity, mesh=mesh)
+    # identity when mesh is None; otherwise replicate the seeded state onto
+    # every mesh device so the SPMD step bodies see consistent inputs
+    pipe.state = pipe._replicate(new_state)
     pipe._scans_fed = 1
     pipe.continuation = {"matched_kf": int(r.kf_idx),
                          "reloc_pose": np.asarray(r.pose),
