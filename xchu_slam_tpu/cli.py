@@ -83,6 +83,10 @@ def cmd_run_sim(args):
     gt_stamps, gt, world, index = _sim_world_and_traj(args)
     rng = np.random.default_rng(args.seed)
     n_scans = len(gt)
+    sensor = dynamics = None
+    if getattr(args, "realism", False):
+        sensor = sim.SensorModel()
+        dynamics = sim.DynamicObjects(gt[:, :3], seed=args.seed)
     # session continuation loads FIRST, because the checkpoint's config
     # governs the continued run (static capacities must match the saved
     # state) — the IMU/wheel/GPS feed synthesis below must see that config,
@@ -93,7 +97,8 @@ def cmd_run_sim(args):
     if getattr(args, "continue_session", None):
         from xchu_slam_tpu.models.continue_session import continue_session
         scans0 = sim.RenderedScans(world, gt, seed=args.seed,
-                                   n_points=24_000, index=index)
+                                   n_points=24_000, index=index,
+                                   sensor=sensor, dynamics=dynamics)
         xyz0, inten0 = scans0[0]
         with timers.time("compile"):
             cont_pipe = continue_session(args.continue_session, xyz0, inten0,
@@ -132,7 +137,8 @@ def cmd_run_sim(args):
         # rendering overlaps device compute (and a KITTI-length sequence is
         # never resident at once)
         scans = sim.RenderedScans(world, gt, seed=args.seed,
-                                  n_points=24_000, index=index)
+                                  n_points=24_000, index=index,
+                                  sensor=sensor, dynamics=dynamics)
         mesh = _make_cli_mesh(args.mesh)
         if cont_pipe is not None:
             # continuation seed done above; still warm the CHUNKED program
@@ -226,7 +232,8 @@ def cmd_run_sim(args):
         for i, p in enumerate(gt):
             with timers.time("render"):
                 xyz, inten = sim.render_scan(world, p, rng, n_points=24_000,
-                                             index=index)
+                                             index=index, sensor=sensor,
+                                             dynamics=dynamics, t=0.1 * i)
             with timers.time("slam"):
                 imu_w, wheel_w = _scan_windows(sensor_windows, i)
                 galt = None
@@ -718,6 +725,12 @@ def main(argv=None):
                     "relocalize scan 0 into its map and CONTINUE mapping "
                     "there (keyframes/factors append to the saved graph; "
                     "requires --engine device)")
+    ps.add_argument("--realism", action="store_true",
+                    help="beam-level sensor realism: 64-beam HDL-64E "
+                         "elevation pattern, per-ray occlusion, range/"
+                         "reflectivity dropout, radial noise, attenuated "
+                         "intensity, and moving traffic objects in the "
+                         "corridor (utils.sim.SensorModel/DynamicObjects)")
     ps.add_argument("--verbose", action="store_true")
     _add_config_overrides(ps)
     ps.set_defaults(fn=cmd_run_sim)

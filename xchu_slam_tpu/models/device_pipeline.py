@@ -329,6 +329,15 @@ def device_step(state: DevState, cloud: Cloud, stamp, gps_alt, gps_valid,
 _DIAG_RESET = np.array([-1.0, 0.0, 0.0, 0.0, 0.0], np.float32)
 
 
+def _fetch(x):
+    """np.asarray that also works for non-fully-addressable (multi-PROCESS
+    mesh) arrays: every engine array is replicated (out_specs P()), so any
+    addressable shard holds the full value."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return np.asarray(x.addressable_shards[0].data)
+    return np.asarray(x)
+
+
 def _ext_guess(state: DevState, win: GuessWindows | None, spec: DevSpec):
     """On-device IMU / wheel-odom guess integration (reference ImuCalc /
     OdomCalc / ImuOdomCalc, odom_node.cpp:494-663). Returns
@@ -637,9 +646,14 @@ class DeviceSlamPipeline:
         self._reserve_log(1)
         use_ext = self.spec.use_imu or self.spec.use_odom
         win = GuessWindows(imu=imu, wheel=wheel) if use_ext else None
-        args = (self._replicate(cloud), jnp.float32(stamp),
-                jnp.float32(gps_alt if gps_alt is not None else 0.0),
-                jnp.bool_(gps_alt is not None))
+        # EVERYTHING traced is replicated (scalars included): on a
+        # multi-process mesh, a bare local jnp scalar mixed with global
+        # arrays is an error — and on a single-process mesh the device_put
+        # is free
+        args = self._replicate((cloud, jnp.float32(stamp),
+                                jnp.float32(gps_alt if gps_alt is not None
+                                            else 0.0),
+                                jnp.bool_(gps_alt is not None)))
         if self.mesh is not None:
             if use_ext:
                 self.state = self._mesh_step(self.state, *args,
@@ -654,8 +668,8 @@ class DeviceSlamPipeline:
         if self.mesh is None:
             return init_state(self.spec, cloud, stamp, self.cfg)
         state = self._replicate(raw_state(self.spec, cloud, self.cfg))
-        return self._mesh_seed(state, self._replicate(cloud),
-                               jnp.float32(stamp))
+        cloud_r, stamp_r = self._replicate((cloud, jnp.float32(stamp)))
+        return self._mesh_seed(state, cloud_r, stamp_r)
 
     def process_chunk(self, clouds: Cloud, stamps, n_real: int,
                       gps_alts=None, wins: GuessWindows | None = None) -> None:
@@ -688,8 +702,9 @@ class DeviceSlamPipeline:
         use_ext = self.spec.use_imu or self.spec.use_odom
         if not use_ext:
             wins = None
-        args = (self._replicate(clouds), jnp.asarray(stamps),
-                jnp.asarray(alts), jnp.asarray(gvalid), jnp.asarray(valid))
+        args = self._replicate((clouds, jnp.asarray(stamps),
+                                jnp.asarray(alts), jnp.asarray(gvalid),
+                                jnp.asarray(valid)))
         if self.mesh is not None:
             if use_ext:
                 self.state = self._mesh_chunk(self.state, *args,
@@ -717,7 +732,7 @@ class DeviceSlamPipeline:
                 f"set log_capacity >= the expected scan count to avoid)",
                 RuntimeWarning, stacklevel=3)
             self._warned_wrap = True
-        log = np.asarray(jax.device_get(self.state.log))
+        log = _fetch(self.state.log)
         self._log_archive.extend(
             log[t % cap] for t in range(self._archived, self._scans_fed))
         self._archived = self._scans_fed
@@ -738,7 +753,7 @@ class DeviceSlamPipeline:
         t1 = time.perf_counter()
         st = st._replace(db=st.db._replace(opt_poses=opt))
         self.state = st
-        host = jax.device_get({
+        host = jax.tree.map(_fetch, {
             "count": st.db.count, "loop_count": st.loop_count,
             "scan_count": st.scan_count, "log": st.log,
             "loop_i": st.graph.loop_i, "loop_j": st.graph.loop_j,
@@ -781,9 +796,9 @@ class DeviceSlamPipeline:
 
     def keyframe_trajectory(self):
         n = self.kf_count
-        return (np.asarray(self.db.stamps[:n]),
-                np.asarray(self.db.poses[:n]),
-                np.asarray(self.db.opt_poses[:n]))
+        return (_fetch(self.db.stamps)[:n],
+                _fetch(self.db.poses)[:n],
+                _fetch(self.db.opt_poses)[:n])
 
     def odometry_trajectory(self) -> np.ndarray:
         return np.array([r["pose"] for r in self.odom_log], np.float32)

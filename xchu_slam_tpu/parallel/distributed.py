@@ -36,6 +36,30 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
     jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
 
 
+def initialize_cpu(coordinator: str, num_processes: int, process_id: int,
+                   local_devices: int | None = None) -> None:
+    """Form a multi-process group over CPU devices with gloo cross-process
+    collectives — the testable stand-in for a multi-host TPU pod (ICI/DCN):
+    N OS processes × M virtual CPU devices each join one global mesh through
+    the JAX coordination service, and every collective in parallel/sharded.py
+    crosses the process boundary over gloo exactly where it would cross
+    DCN on real hardware.
+
+    Must be called before any JAX backend is touched (device queries included)
+    and with the axon/sitecustomize PJRT shim absent from PYTHONPATH — the
+    shim registers a backend at interpreter start, which pins the process to
+    a pre-distributed client (tools/mp_spmd_worker.py strips it)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if local_devices is not None:
+        jax.config.update("jax_num_cpu_devices", local_devices)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def global_mesh(axis: str = "data") -> Mesh:
     """1-D mesh over every device of every participating host."""
     return Mesh(np.array(jax.devices()), (axis,))

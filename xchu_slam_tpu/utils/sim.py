@@ -329,6 +329,111 @@ class WorldIndex:
         return np.concatenate([self.order[lo:hi] for lo, hi in spans])
 
 
+class SensorModel(NamedTuple):
+    """Beam-level LiDAR realism knobs (VERDICT r4 item 5 — the things that
+    make real data harder than a point-sampled world). Modeled on the KITTI
+    HDL-64E: 64 discrete elevation beams spanning +2.0°…−24.8°, one return
+    per (azimuth, beam) ray with hard occlusion, range/reflectivity-dependent
+    dropout, radial (along-ray) range noise, and range-attenuated intensity."""
+
+    n_beams: int = 64
+    elev_min: float = -0.4328     # rad (−24.8°, HDL-64E lower bound)
+    elev_max: float = 0.0349      # rad (+2.0°)
+    beam_tol: float = 0.35        # accept within this fraction of beam spacing
+    az_bins: int = 1800           # 0.2° azimuth resolution
+    occlusion: bool = True        # keep only the nearest return per ray
+    dropout_base: float = 0.02    # always-on miss probability
+    dropout_range: float = 0.30   # extra misses at max range (scaled by (r/R)²)
+    dropout_dark: float = 0.20    # extra misses for low-reflectivity surfaces
+    noise_floor: float = 0.008    # radial σ at 0 m
+    noise_per_m: float = 0.0004   # radial σ growth with range
+    inten_atten: float = 40.0     # intensity ~ refl / (1 + (r/this)²)
+
+
+class DynamicObjects:
+    """Moving box objects (car-sized) travelling the trajectory corridor —
+    traffic the static-world assumption of NDT/SC must survive. Each object
+    follows the path arc at its own speed (some opposing), offset into a
+    lane; its surface points are rendered per scan time and occlude the
+    static world behind them through the sensor z-buffer."""
+
+    def __init__(self, path_xyz: np.ndarray, seed: int = 0,
+                 n_objects: int = 12, pts_per: int = 500,
+                 speed_range: tuple[float, float] = (3.0, 9.0),
+                 lane_offsets: tuple[float, float] = (2.5, 5.0),
+                 sensor_height: float = 1.73):
+        rng = np.random.default_rng(seed + 77)
+        p = np.asarray(path_xyz, np.float64)
+        seg = np.linalg.norm(np.diff(p[:, :2], axis=0), axis=1)
+        self._arc = np.concatenate([[0.0], np.cumsum(seg)])
+        self._path = p
+        self._total = float(self._arc[-1])
+        n = max(n_objects, 0)
+        self._s0 = rng.uniform(0, self._total, n)
+        self._v = rng.uniform(*speed_range, n) * rng.choice([-1.0, 1.0], n)
+        self._lane = rng.uniform(*lane_offsets, n) * rng.choice([-1.0, 1.0], n)
+        self._dims = np.c_[rng.uniform(3.6, 4.8, n),     # length
+                           rng.uniform(1.6, 2.0, n),     # width
+                           rng.uniform(1.3, 1.7, n)]     # height
+        self._refl = rng.uniform(0.4, 0.8, n)
+        self._z0 = -sensor_height
+        # per-object box surface point template (unit box, local frame)
+        self._tmpl = []
+        for k in range(n):
+            m = pts_per
+            u, v, face = (rng.uniform(-0.5, 0.5, m), rng.uniform(0, 1, m),
+                          rng.integers(0, 5, m))
+            L, W, H = self._dims[k]
+            pts = np.zeros((m, 3))
+            pts[face == 0] = np.c_[u[face == 0] * L,
+                                   np.full((face == 0).sum(), -W / 2),
+                                   v[face == 0] * H]
+            pts[face == 1] = np.c_[u[face == 1] * L,
+                                   np.full((face == 1).sum(), W / 2),
+                                   v[face == 1] * H]
+            pts[face == 2] = np.c_[np.full((face == 2).sum(), -L / 2),
+                                   u[face == 2] * W, v[face == 2] * H]
+            pts[face == 3] = np.c_[np.full((face == 3).sum(), L / 2),
+                                   u[face == 3] * W, v[face == 3] * H]
+            pts[face == 4] = np.c_[u[face == 4] * L, (v[face == 4] - 0.5) * W,
+                                   np.full((face == 4).sum(), H)]
+            self._tmpl.append(pts)
+
+    def _pose_at_arc(self, s: np.ndarray):
+        s = np.mod(s, self._total)
+        x = np.interp(s, self._arc, self._path[:, 0])
+        y = np.interp(s, self._arc, self._path[:, 1])
+        z = np.interp(s, self._arc, self._path[:, 2]) \
+            if self._path.shape[1] > 2 else np.zeros_like(x)
+        ds = 1.0
+        x2 = np.interp(np.mod(s + ds, self._total), self._arc,
+                       self._path[:, 0])
+        y2 = np.interp(np.mod(s + ds, self._total), self._arc,
+                       self._path[:, 1])
+        yaw = np.arctan2(y2 - y, x2 - x)
+        return x, y, z, yaw
+
+    def points_at(self, t: float) -> tuple[np.ndarray, np.ndarray]:
+        """World-frame surface points of every object at time t (seconds)."""
+        if len(self._s0) == 0:
+            return np.zeros((0, 3), np.float32), np.zeros(0, np.float32)
+        x, y, z, yaw = self._pose_at_arc(self._s0 + self._v * t)
+        parts, intens = [], []
+        for k in range(len(self._s0)):
+            c, s = np.cos(yaw[k]), np.sin(yaw[k])
+            nrm = np.array([-s, c])
+            R = np.array([[c, -s], [s, c]])
+            pts = self._tmpl[k].copy()
+            pts[:, :2] = pts[:, :2] @ R.T
+            pts[:, 0] += x[k] + self._lane[k] * nrm[0]
+            pts[:, 1] += y[k] + self._lane[k] * nrm[1]
+            pts[:, 2] += z[k] + self._z0
+            parts.append(pts)
+            intens.append(np.full(len(pts), self._refl[k], np.float32))
+        return (np.vstack(parts).astype(np.float32),
+                np.concatenate(intens).astype(np.float32))
+
+
 def render_scan(
     world: World,
     pose6: np.ndarray,
@@ -338,11 +443,22 @@ def render_scan(
     n_points: int = 24_000,
     noise: float = 0.015,
     index: "WorldIndex | None" = None,
+    sensor: SensorModel | None = None,
+    dynamics: DynamicObjects | None = None,
+    t: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One scan in the body frame: (xyz [n,3], intensity [n]) float32.
 
-    Points within the range annulus are sampled with ~1/r weighting (denser
-    near the sensor, like a real spinning LiDAR)."""
+    Default (sensor=None): points within the range annulus sampled with ~1/r
+    weighting (denser near the sensor) plus isotropic noise — the fast mode
+    all accuracy baselines through round 4 used.
+
+    With a `SensorModel`, the scan goes through a beam-level pipeline
+    instead: 64-beam elevation quantization, per-(azimuth, beam)-ray hard
+    occlusion (nearest return wins — a z-buffer over the polar image),
+    range/reflectivity-dependent dropout, radial range noise, and
+    range-attenuated intensities. `dynamics` injects moving objects at scan
+    time `t` that occlude the static world behind them."""
     # pure NumPy (no device round trip: the simulator must not contend with
     # the SLAM engine for the accelerator)
     r_, p_, y_ = float(pose6[3]), float(pose6[4]), float(pose6[5])
@@ -354,20 +470,72 @@ def render_scan(
         [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
         [-sp, cp * sr, cp * cr],
     ], np.float32)
-    t = np.asarray(pose6[:3], np.float32)
+    tpos = np.asarray(pose6[:3], np.float32)
     if index is not None:
-        cand = index.query(t[:2], max_range)
+        cand = index.query(tpos[:2], max_range)
         world_xyz = world.xyz[cand]
         world_inten = world.intensity[cand]
     else:
         world_xyz = world.xyz
         world_inten = world.intensity
-    rel = world_xyz - t
+    if dynamics is not None:
+        dxyz, dint = dynamics.points_at(t)
+        if len(dxyz):
+            near = np.linalg.norm(dxyz[:, :2] - tpos[None, :2],
+                                  axis=1) < max_range + 3.0
+            world_xyz = np.vstack([world_xyz, dxyz[near]])
+            world_inten = np.concatenate([world_inten, dint[near]])
+    rel = world_xyz - tpos
     r = np.linalg.norm(rel[:, :2], axis=1)
     sel = (r > min_range) & (r < max_range)
     idx = np.nonzero(sel)[0]
     if len(idx) == 0:
         return (np.zeros((0, 3), np.float32), np.zeros(0, np.float32))
+
+    if sensor is not None:
+        sm = sensor
+        rel_s = rel[idx]
+        r_xy = r[idx]
+        r3 = np.linalg.norm(rel_s, axis=1)
+        inten = world_inten[idx]
+        # --- beam quantization: keep points lying on a discrete beam ------ #
+        elev = np.arctan2(rel_s[:, 2], r_xy)
+        d_el = (sm.elev_max - sm.elev_min) / max(sm.n_beams - 1, 1)
+        beam_f = (elev - sm.elev_min) / d_el
+        beam = np.round(beam_f).astype(np.int64)
+        on_beam = (np.abs(beam_f - beam) <= sm.beam_tol) & \
+            (beam >= 0) & (beam < sm.n_beams)
+        # --- per-(azimuth, beam) ray z-buffer: nearest return wins -------- #
+        az = np.arctan2(rel_s[:, 1], rel_s[:, 0])
+        azb = np.minimum((az + np.pi) / (2 * np.pi) * sm.az_bins,
+                         sm.az_bins - 1).astype(np.int64)
+        ki = np.nonzero(on_beam)[0]
+        if sm.occlusion and len(ki):
+            key = azb[ki] * sm.n_beams + beam[ki]
+            order = np.lexsort((r3[ki], key))
+            first = np.concatenate([[True],
+                                    np.diff(key[order]) != 0])
+            ki = ki[order[first]]
+        # --- range/reflectivity-dependent dropout ------------------------- #
+        if len(ki):
+            p_drop = (sm.dropout_base
+                      + sm.dropout_range * (r3[ki] / max_range) ** 2
+                      + sm.dropout_dark * np.maximum(0.0, 0.5 - inten[ki]))
+            ki = ki[rng.random(len(ki)) > np.clip(p_drop, 0.0, 0.95)]
+        if len(ki) > n_points:
+            ki = ki[rng.permutation(len(ki))[:n_points]]
+        if len(ki) == 0:
+            return (np.zeros((0, 3), np.float32), np.zeros(0, np.float32))
+        # --- radial range noise + attenuated intensity -------------------- #
+        ray = rel_s[ki] / np.maximum(r3[ki], 1e-6)[:, None]
+        sig = sm.noise_floor + sm.noise_per_m * r3[ki]
+        pts_w = world_xyz[idx[ki]] + ray * (rng.normal(0, 1.0, len(ki))
+                                            * sig)[:, None]
+        out_int = inten[ki] / (1.0 + (r3[ki] / sm.inten_atten) ** 2)
+        out_int = np.clip(out_int + rng.normal(0, 0.02, len(ki)), 0.0, 1.0)
+        body = (pts_w - tpos) @ R
+        return body.astype(np.float32), out_int.astype(np.float32)
+
     if len(idx) <= n_points:
         take = idx
     else:
@@ -380,7 +548,7 @@ def render_scan(
         if len(take) > n_points:
             take = take[rng.permutation(len(take))[:n_points]]
     pts_w = world_xyz[take] + rng.normal(0, noise, (len(take), 3))
-    body = (pts_w - t) @ R  # R⁻¹ = Rᵀ applied on the right
+    body = (pts_w - tpos) @ R  # R⁻¹ = Rᵀ applied on the right
     return body.astype(np.float32), world_inten[take]
 
 
@@ -393,13 +561,18 @@ class RenderedScans:
 
     def __init__(self, world: World, poses: np.ndarray, seed: int = 0,
                  n_points: int = 24_000, index: WorldIndex | None = None,
-                 max_range: float = 60.0):
+                 max_range: float = 60.0, sensor: SensorModel | None = None,
+                 dynamics: DynamicObjects | None = None,
+                 scan_period: float = 0.1):
         self.world = world
         self.poses = np.asarray(poses)
         self.seed = seed
         self.n_points = n_points
         self.index = index
         self.max_range = max_range
+        self.sensor = sensor
+        self.dynamics = dynamics
+        self.scan_period = scan_period
 
     def __len__(self) -> int:
         return len(self.poses)
@@ -408,7 +581,9 @@ class RenderedScans:
         rng = np.random.default_rng((self.seed + 1) * 1_000_003 + k)
         return render_scan(self.world, self.poses[k], rng,
                            n_points=self.n_points, index=self.index,
-                           max_range=self.max_range)
+                           max_range=self.max_range, sensor=self.sensor,
+                           dynamics=self.dynamics,
+                           t=k * self.scan_period)
 
 
 def simulate_sequence(
