@@ -34,8 +34,8 @@ def test_insert_finalize_matches_bruteforce(rng):
 
     oracle = _brute_force_stats(pts.astype(np.float64), origin, SPEC)
     n = np.asarray(grid.n)
-    mean = np.asarray(grid.mean)
-    valid = np.asarray(grid.valid)
+    base = np.asarray(vm.unpack_base(grid.fin, SPEC))  # interior [V,10] view
+    mean, valid = base[:, 0:3], base[:, 9] > 0.0
     checked = 0
     for (ix, iy, iz), (cnt, mu, cov) in oracle.items():
         f = (ix * SPEC.gy + iy) * SPEC.gz + iz
@@ -56,10 +56,11 @@ def test_icov_matches_inflated_inverse(rng):
     grid = vm.insert_points(grid, jnp.asarray(pts), jnp.ones(200, bool), SPEC)
     grid = vm.finalize(grid, SPEC)
     f = (1 * SPEC.gy + 1) * SPEC.gz + 1
-    assert bool(grid.valid[f])
+    base = np.asarray(vm.unpack_base(grid.fin, SPEC))
+    assert base[f, 9] > 0.0
     inside = pts[np.all((pts >= 2.0) & (pts < 4.0), axis=1)]
     cov = np.cov(inside.T, bias=False)
-    icov_got = np.asarray(grid.icov[f])
+    icov_got = base[f, 3:9]
     from xchu_slam_tpu.utils.linalg import sym6_to_mat
 
     got = np.asarray(sym6_to_mat(jnp.asarray(icov_got)))

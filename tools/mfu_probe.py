@@ -125,14 +125,16 @@ def main():
     look = jax.jit(lambda p, x: ndt_deriv.neighborhood(p, x, grid, gspec))
     nb = jax.block_until_ready(look(pose, filt.xyz))
     dt = timed(lambda: look(pose, filt.xyz))
-    # analytic: read xyz [N,3] f32, gather N·7 rows of the packed fin table
-    # (40 B each), write (mean[N,7,3], icov[N,7,6], valid[N,7]) = N·7·10 f32.
-    # XLA's cost model instead bills the FULL 6.1 MB table per gather op,
+    # analytic: read xyz [N,3] f32, gather N rows of the DIRECT7-PACKED fin
+    # table (70 lanes = 280 B each; round 5 packed the 7 neighbor rows into
+    # one via pack_fin7 — one latency-bound row gather per point instead of
+    # seven), write (mean[N,7,3], icov[N,7,6], valid[N,7]) = N·7·10 f32.
+    # XLA's cost model instead bills the FULL packed table per gather op,
     # which round 3 recorded as a 411%-of-HBM row.
-    look_bytes = N * 3 * 4 + N * 7 * 40 + N * 7 * 10 * 4
+    look_bytes = N * 3 * 4 + N * 280 + N * 7 * 10 * 4
     rows.append(row(f"ndt lookup7 gather (N={N})", dt, cost(look, pose, filt.xyz),
-                    note="7 random rows of mean[3]+icov[6]+valid per point; "
-                         "analytic bytes = xyz read + 7N gathered rows + "
+                    note="ONE 70-lane packed row per point (pack_fin7); "
+                         "analytic bytes = xyz read + N gathered rows + "
                          "[N,7,10] write",
                     analytic_bytes=look_bytes))
 

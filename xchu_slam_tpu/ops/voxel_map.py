@@ -62,8 +62,64 @@ def make_grid(spec: GridSpec, origin: jnp.ndarray) -> VoxelGrid:
     return VoxelGrid(
         origin=jnp.asarray(origin, jnp.float32),
         stats=jnp.zeros((V, 10), jnp.float32),
-        fin=jnp.zeros((V, 10), jnp.float32),
+        fin=jnp.zeros((num_voxels_padded(spec), 70), jnp.float32),
     )
+
+
+def _padded_dims(spec: GridSpec):
+    """The packed `fin` table carries a 1-voxel EMPTY BORDER: a point whose
+    own voxel lies just outside the grid still has in-bounds DIRECT7
+    neighbors (the reference accepts those — getNeighborhoodAtPoint checks
+    each neighbor's bounds, not the centre's,
+    voxel_grid_covariance_omp_impl.hpp:385-396), and the border gives such
+    points a (always-empty) centre row whose packed neighbor blocks are the
+    CORRECT interior rows."""
+    return spec.gx + 2, spec.gy + 2, spec.gz + 2
+
+
+def num_voxels_padded(spec: GridSpec) -> int:
+    px, py, pz = _padded_dims(spec)
+    return px * py * pz
+
+
+def _flat_offsets7_padded(spec: GridSpec):
+    """Flat-index deltas of the DIRECT7 offsets under the PADDED
+    (x·py + y)·pz + z layout: z±1 → ±1, y±1 → ±pz, x±1 → ±py·pz."""
+    _px, py, pz = _padded_dims(spec)
+    return [int((ox * py + oy) * pz + oz) for ox, oy, oz in _OFFSETS7]
+
+
+def pack_fin7(fin_base: jnp.ndarray, spec: GridSpec) -> jnp.ndarray:
+    """[V,10] finalized stats → [Vp,70] DIRECT7-packed, border-padded table.
+
+    Lane block 10k:10k+10 of padded row f holds the stats of f's k-th
+    DIRECT7 neighbor (k ordered as _OFFSETS7; block 0 IS the row's own
+    stats), built by padding an empty 1-voxel border then seven flat rolls —
+    so the per-point neighborhood fetch becomes ONE 70-lane row gather
+    instead of seven 10-lane row gathers. TPU row gathers are latency-bound
+    per ROW (each reads a full lane line of which only the row's lanes are
+    useful — mfu.json round 4: 2.4 GB/s on an 819 GB/s part; packing
+    measured it to ~4x).
+
+    Correctness: a packed block is only USED where lookup_neighbors' `inb`
+    (computed from the TRUE neighbor coordinates) is True; every such block
+    is an interior row reached without clipping thanks to the border, and
+    flat-roll wraps land only in rows whose blocks are never selected."""
+    g = fin_base.reshape(spec.gx, spec.gy, spec.gz, fin_base.shape[-1])
+    gp = jnp.pad(g, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    base_p = gp.reshape(num_voxels_padded(spec), fin_base.shape[-1])
+    return jnp.concatenate(
+        [jnp.roll(base_p, -o, axis=0) for o in _flat_offsets7_padded(spec)],
+        axis=1)
+
+
+def unpack_base(fin: jnp.ndarray, spec: GridSpec) -> jnp.ndarray:
+    """Inverse of pack_fin7's layout: padded [Vp,70] → interior base [V,10]
+    (a pure slice — block 0 of each interior row is that voxel's own
+    stats)."""
+    px, py, pz = _padded_dims(spec)
+    g = fin[:, :10].reshape(px, py, pz, 10)
+    return g[1:-1, 1:-1, 1:-1].reshape(spec.num_voxels, 10)
 
 
 def centered_origin(spec: GridSpec, centre_xyz) -> jnp.ndarray:
@@ -140,11 +196,14 @@ def finalize(grid: VoxelGrid, spec: GridSpec) -> VoxelGrid:
     icov6 = linalg.mat_to_sym6(icov)
     icov6 = jnp.where(valid[:, None], icov6, 0.0)
     mean = jnp.where(valid[:, None], mean, 0.0)
-    # pack [mean | icov6 | valid] into ONE table: lookup7 then needs a single
-    # gather per neighborhood fetch instead of three
-    fin = jnp.concatenate(
+    # pack [mean | icov6 | valid] into ONE table, then DIRECT7-pack the
+    # seven neighbor tables into the 70-lane row (pack_fin7): the
+    # neighborhood fetch is a SINGLE row gather per point (round 3 fused the
+    # three tables into one ~3× win; round 5 packs the seven neighbors for
+    # the next ~7× on the latency-bound row gather)
+    fin_base = jnp.concatenate(
         [mean, icov6, valid.astype(jnp.float32)[:, None]], -1)
-    return grid._replace(fin=fin)
+    return grid._replace(fin=pack_fin7(fin_base, spec))
 
 
 @functools.partial(jax.jit, static_argnames=("spec",), donate_argnames=("grid",))
@@ -173,10 +232,16 @@ def recentre(grid: VoxelGrid, new_centre: jnp.ndarray, spec: GridSpec) -> VoxelG
         g = jnp.where(ok, g, jnp.zeros_like(g))
         return g.reshape(a.shape)
 
+    # fin: roll the BASE lanes (the centre-voxel stats) then re-pack the
+    # DIRECT7 neighbor lanes. The packed lanes are flat rolls of the base,
+    # and flat rolls commute with the recentre roll — but recentre also
+    # zeroes the newly exposed bands, and that zeroing would have to be
+    # shifted per neighbor copy; re-packing after the roll is exact and
+    # recentres are rare (margin crossings only).
     return VoxelGrid(
         origin=new_origin,
         stats=roll3(grid.stats),
-        fin=roll3(grid.fin),
+        fin=pack_fin7(roll3(unpack_base(grid.fin, spec)), spec),
     )
 
 
@@ -206,6 +271,9 @@ _OFFSETS27 = _np.stack(_np.meshgrid(*([_np.arange(-1, 2, dtype=_np.int32)] * 3),
 _MODE_OFFSETS = {
     "direct1": _OFFSETS1,
     "direct7": _OFFSETS7,
+    "direct7_rows": _OFFSETS7,  # same semantics as direct7 via per-neighbor
+    # row gathers (the pre-round-5 data path) — kept for A/B measurement of
+    # the packed-row gather and as a bisection tool
     "direct26": _OFFSETS27,
     "kdtree": _OFFSETS27,
 }
@@ -216,23 +284,36 @@ def lookup_neighbors(grid: VoxelGrid, spec: GridSpec, xyz: jnp.ndarray,
     """For each query point gather its DIRECT-mode voxel neighborhood.
 
     Returns (mean_world [N,M,3], icov6 [N,M,6], valid [N,M]) with
-    M = 1 / 7 / 27 by mode (see _MODE_OFFSETS)."""
-    offsets = _MODE_OFFSETS[mode]
+    M = 1 / 7 / 27 by mode (see _MODE_OFFSETS).
+
+    direct7 (the default/hot mode) reads the 70-lane DIRECT7-packed row
+    (pack_fin7): ONE latency-bound row gather per point instead of seven.
+    The other modes gather per-neighbor rows from the base lanes."""
     idx3, _ = _voxel_index3(spec, grid.origin, xyz)
+    offsets = _MODE_OFFSETS[mode]
     nidx3 = idx3[:, None, :] + offsets[None, :, :]
     inb = (
         (nidx3[..., 0] >= 0) & (nidx3[..., 0] < spec.gx)
         & (nidx3[..., 1] >= 0) & (nidx3[..., 1] < spec.gy)
         & (nidx3[..., 2] >= 0) & (nidx3[..., 2] < spec.gz)
     )
-    # clamp instead of sentinel-row concat: this path runs ~dozens of times per
-    # alignment inside autodiff, so avoid materializing a copy of the grid.
-    flat = (nidx3[..., 0] * spec.gy + nidx3[..., 1]) * spec.gz + nidx3[..., 2]
-    flat = jnp.clip(flat, 0, spec.num_voxels - 1)
-    # ONE gather from the packed [mean|icov6|valid] table — the gather is the
-    # NDT hot loop's dominant cost on TPU (PERF.md MFU table); fusing the
-    # three table reads into one measured ~3× faster
-    rows = grid.fin[flat]                                      # [N,M,10]
+    px, py, pz = _padded_dims(spec)
+    if mode == "direct7":
+        # per-dim clip into the PADDED table: centres up to 1 voxel outside
+        # the grid land on a border row whose packed neighbor blocks are the
+        # correct interior rows (see pack_fin7); centres further out clip to
+        # rows whose blocks are all inb-masked anyway
+        idxp = jnp.clip(idx3 + 1, 0,
+                        jnp.array([px - 1, py - 1, pz - 1], jnp.int32))
+        flat = (idxp[..., 0] * py + idxp[..., 1]) * pz + idxp[..., 2]
+        rows = grid.fin[flat].reshape(xyz.shape[0], 7, 10)     # [N,7,10]
+    else:
+        # per-neighbor row gather from the base lanes (padded layout);
+        # per-dim clip keeps every flat index in range, inb masks the rest
+        nidxp = jnp.clip(nidx3 + 1, 0,
+                         jnp.array([px - 1, py - 1, pz - 1], jnp.int32))
+        flat = (nidxp[..., 0] * py + nidxp[..., 1]) * pz + nidxp[..., 2]
+        rows = grid.fin[..., :10][flat]                        # [N,M,10]
     mean_l = rows[..., 0:3]
     icov = rows[..., 3:9]
     valid = (rows[..., 9] > 0.0) & inb
@@ -260,9 +341,10 @@ def occupied_count(grid: VoxelGrid) -> jnp.ndarray:
 def grid_points(grid: VoxelGrid, spec: GridSpec):
     """All valid voxel means as a (means [V,3], mask [V]) pair — the map as a
     downsampled point cloud (used for visualization / map export)."""
+    base = unpack_base(grid.fin, spec)
     idx = jnp.arange(spec.num_voxels)
     iz = idx % spec.gz
     iy = (idx // spec.gz) % spec.gy
     ix = idx // (spec.gy * spec.gz)
     corner = grid.origin + jnp.stack([ix, iy, iz], -1).astype(jnp.float32) * spec.resolution
-    return corner + grid.mean, grid.valid
+    return corner + base[:, 0:3], base[:, 9] > 0.0

@@ -71,12 +71,18 @@ class VoxelGrid(NamedTuple):
     stats:  float32[V,10] packed accumulators per voxel (V = gx*gy*gz):
                           [n, Σx (3), Σxxᵀ upper-tri (6)] — one array so scan
                           insertion is a single scatter-add
-    fin:    float32[V,10] packed FINALIZED stats: [mean (3), icov upper-tri
-                          (6), valid (1.0/0.0)] — one array so the DIRECT7
-                          neighborhood fetch is a SINGLE gather (measured 3×
-                          faster than separate mean/icov/valid gathers on
-                          TPU; the gather is the NDT hot loop's dominant
-                          cost, see PERF.md MFU table)
+    fin:    float32[V,70] DIRECT7-packed FINALIZED stats: lane block
+                          10k:10k+10 of row f holds [mean (3), icov
+                          upper-tri (6), valid (1.0/0.0)] of f's k-th
+                          DIRECT7 neighbor (block 0 = f itself), built by
+                          ops.voxel_map.pack_fin7 — so the per-point
+                          neighborhood fetch is ONE latency-bound row
+                          gather instead of seven (the gather is the NDT
+                          hot loop's dominant cost, see PERF.md MFU table;
+                          round 3 fused mean/icov/valid into one row for
+                          ~3×, round 5 packs the 7 neighbors for ~7× more).
+                          Checkpoints store only the canonical base lanes
+                          [:, :10] and re-pack at load.
     """
 
     origin: jnp.ndarray

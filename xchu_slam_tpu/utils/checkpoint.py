@@ -25,6 +25,33 @@ def _flatten(prefix: str, tree) -> dict:
     return out
 
 
+def _slim_grid_fin(arrays: dict, cfg) -> None:
+    """Store voxel-grid `fin` tables in their canonical [V,10] interior base
+    form: the on-device [Vp,70] DIRECT7-packed border-padded layout
+    (ops.voxel_map.pack_fin7) is a pure function of the base lanes,
+    re-packed at load — ~8x smaller checkpoints and format-compatible with
+    pre-round-5 files both ways."""
+    from xchu_slam_tpu.ops import voxel_map as vm
+
+    spec = vm.spec_from_config(cfg.ndt)
+    for k in list(arrays):
+        if k.endswith(".fin") and arrays[k].ndim == 2 \
+                and arrays[k].shape[1] == 70:
+            arrays[k] = np.asarray(vm.unpack_base(arrays[k], spec))
+
+
+def _repack_grid_fin(data: dict, cfg) -> None:
+    """Inverse of _slim_grid_fin: [V,10] stored base → [Vp,70] packed."""
+    from xchu_slam_tpu.ops import voxel_map as vm
+
+    spec = vm.spec_from_config(cfg.ndt)
+    for k in list(data):
+        if k.endswith(".fin") and data[k].ndim == 2 \
+                and data[k].shape[1] == 10:
+            base = np.asarray(data[k], np.float32)
+            data[k] = np.asarray(vm.pack_fin7(base, spec))
+
+
 def save_checkpoint(pipe, path: str) -> None:
     """Checkpoint either pipeline flavour: the host-orchestrated SlamPipeline
     or the fully on-device DeviceSlamPipeline (models/device_pipeline.py)."""
@@ -50,6 +77,7 @@ def save_checkpoint(pipe, path: str) -> None:
         else np.asarray(pipe._last_kf_odom).tolist(),
         "config": pipe.cfg.to_json(),
     }
+    _slim_grid_fin(arrays, pipe.cfg)
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
@@ -59,6 +87,7 @@ def _save_device_checkpoint(pipe, path: str) -> None:
     if pipe.state is None:
         raise ValueError("device pipeline has no state yet (no scans fed)")
     arrays = _flatten("state", pipe.state)
+    _slim_grid_fin(arrays, pipe.cfg)
     meta = {
         "engine": "device",
         "kf_points": pipe.kf_points,
@@ -119,6 +148,7 @@ def load_checkpoint(path: str):
     _migrate_legacy(data)
     meta = json.loads(bytes(data["__meta__"]).decode())
     cfg = SlamConfig.from_json(meta["config"])
+    _repack_grid_fin(data, cfg)
 
     if meta.get("engine") == "device":
         from xchu_slam_tpu.models.device_pipeline import (DeviceSlamPipeline,
