@@ -172,3 +172,27 @@ def test_radius_outlier_matches_bruteforce():
     want = np.zeros(len(xyz), bool)
     want[np.flatnonzero(mask)] = cnt >= 4
     np.testing.assert_array_equal(np.asarray(out.mask), want)
+
+
+def test_statistical_approx_agrees_with_exact(rng):
+    """statistical_approx (TPU hardware approx_min_k; exact fallback on CPU)
+    must keep near-identical point sets to the exact filter — the mean-kNN
+    bias from missed neighbors moves both the rows and the threshold."""
+    import jax.numpy as jnp
+
+    from xchu_slam_tpu.ops.filter import statistical_outlier_removal
+    from xchu_slam_tpu.types import make_cloud
+
+    pts = rng.normal(0, 10, (2048, 3)).astype(np.float32)
+    pts[:32] += rng.normal(0, 80, (32, 3))          # gross outliers
+    cl = make_cloud(pts)
+    exact = statistical_outlier_removal(cl, k=30, stddev_mult=1.0)
+    approx = statistical_outlier_removal(cl, k=30, stddev_mult=1.0,
+                                         approx=True)
+    a = np.asarray(exact.mask)
+    b = np.asarray(approx.mask)
+    agree = (a == b).mean()
+    assert agree > 0.98, f"keep-mask agreement {agree:.3f}"
+    # both must drop most of the gross outliers
+    assert np.asarray(exact.mask)[:32].sum() <= 8
+    assert np.asarray(approx.mask)[:32].sum() <= 8

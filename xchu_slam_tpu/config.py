@@ -26,6 +26,9 @@ class FilterConfig:
     max_range: float = 60.0
     voxel_size: float = 0.5         # downsample leaf (filter_node.cpp:250)
     outlier_method: str = "radius"  # "radius" | "statistical" |
+    #                                 "statistical_approx" (hardware
+    #                                 approx_min_k kNN, recall ≥ ~0.95 —
+    #                                 see ops.filter) |
     #                                 "statistical_bucketed" | "none"
     radius_outlier_radius: float = 0.8   # (filter_node.cpp:264-273)
     radius_outlier_min_neighbors: int = 5

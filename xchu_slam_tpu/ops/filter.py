@@ -138,7 +138,8 @@ def radius_outlier_removal(
 
 
 def statistical_outlier_removal(
-    cloud: Cloud, k: int, stddev_mult: float, chunk: int | None = None
+    cloud: Cloud, k: int, stddev_mult: float, chunk: int | None = None,
+    approx: bool = False,
 ) -> Cloud:
     """Exact statistical outlier removal (reference filter_node.cpp:255-262):
     mean distance to k nearest neighbors; drop points whose mean exceeds
@@ -152,19 +153,33 @@ def statistical_outlier_removal(
     length). With `chunk=None` (default) the whole matrix runs as ONE fused
     pass — measured another 2.3× over row-chunked lax.map at 8192 pts
     (32.3 → 14.1 ms on TPU v5e); pass a chunk only when the [n,n] distance
-    matrix would not fit memory."""
+    matrix would not fit memory.
+
+    With `approx=True` the k-NN selection uses `jax.lax.approx_min_k` —
+    the TPU's HARDWARE-accelerated partial-reduction top-k (recall ≥ ~0.95
+    per row). The handful of missed true neighbors are replaced by
+    slightly-farther ones, biasing each row's mean-distance marginally UP;
+    the keep/drop threshold µ+m·σ moves with the same bias, so the kept
+    set stays near-identical (agreement measured in tests and the phase3
+    A/B). Opt-in (`filter.outlier_method=statistical_approx`); the default
+    stays exact-PCL-parity."""
 
     def reducer(d2, rows_mask, i0):
         C, ncol = d2.shape
-        segs = max(1, ncol // 256)
-        while ncol % segs:
-            segs -= 1
-        if segs > 1 and ncol // segs > k + 1:
-            d2s = d2.reshape(C, segs, ncol // segs)
-            neg_s, _ = jax.lax.top_k(-d2s, k + 1)        # [C,segs,k+1]
-            neg, _ = jax.lax.top_k(neg_s.reshape(C, segs * (k + 1)), k + 1)
+        if approx:
+            nd, _ = jax.lax.approx_min_k(d2, k + 1)      # [C,k+1]
+            neg = -nd
         else:
-            neg, _ = jax.lax.top_k(-d2, k + 1)  # includes self at distance 0
+            segs = max(1, ncol // 256)
+            while ncol % segs:
+                segs -= 1
+            if segs > 1 and ncol // segs > k + 1:
+                d2s = d2.reshape(C, segs, ncol // segs)
+                neg_s, _ = jax.lax.top_k(-d2s, k + 1)    # [C,segs,k+1]
+                neg, _ = jax.lax.top_k(
+                    neg_s.reshape(C, segs * (k + 1)), k + 1)
+            else:
+                neg, _ = jax.lax.top_k(-d2, k + 1)  # self at distance 0
         d = jnp.sqrt(jnp.maximum(-neg[:, 1:], 0.0))
         return jnp.where(rows_mask, jnp.mean(d, axis=-1), jnp.nan)
 
@@ -363,7 +378,7 @@ def filter_scan(cloud: Cloud, cfg) -> Cloud:
             c, cfg.radius_outlier_radius, cfg.radius_outlier_min_neighbors,
             chunk=4096,
         )
-    elif cfg.outlier_method == "statistical":
+    elif cfg.outlier_method in ("statistical", "statistical_approx"):
         # all-pairs hierarchical top_k as ONE fused pass (density-robust,
         # exact at any sparsity; see the 2.3× fused-vs-chunked measurement).
         # Above 16k post-downsample capacity the fused [n,n] f32 matrix
@@ -372,8 +387,9 @@ def filter_scan(cloud: Cloud, cfg) -> Cloud:
         chunk = getattr(cfg, "stat_chunk", 0) or None
         if chunk is None and cfg.max_points > 16384:
             chunk = 8192
-        c = statistical_outlier_removal(c, cfg.stat_outlier_k,
-                                        cfg.stat_outlier_stddev, chunk=chunk)
+        c = statistical_outlier_removal(
+            c, cfg.stat_outlier_k, cfg.stat_outlier_stddev, chunk=chunk,
+            approx=(cfg.outlier_method == "statistical_approx"))
     elif cfg.outlier_method == "statistical_bucketed":
         # spatially bucketed O(N·candidates) variant — wins when the cloud is
         # DENSE enough that d_k < stat_bucket_mult·voxel_size for most rows
