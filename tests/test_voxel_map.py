@@ -153,3 +153,27 @@ def test_grid_points_roundtrip(rng):
     sel = np.asarray(mask)
     assert sel.sum() == 1
     np.testing.assert_allclose(np.asarray(means)[sel][0], pts.mean(0), atol=1e-3)
+
+
+def test_insert_points_pair_matches_separate(rng):
+    """The fused A/B scatter must equal two separate inserts (identical
+    origins — the odometry invariant)."""
+    origin = np.array([-16.0, -16.0, -8.0], np.float32)
+    pts = rng.uniform(-10, 10, (2000, 3)).astype(np.float32)
+    mask = jnp.asarray(rng.random(2000) < 0.9)
+    ga1 = vm.make_grid(SPEC, origin)
+    gb1 = vm.make_grid(SPEC, origin)
+    # pre-populate B differently so the pair insert must preserve each
+    # grid's own accumulators
+    pre = rng.uniform(-10, 10, (500, 3)).astype(np.float32)
+    gb1 = vm.insert_points(gb1, jnp.asarray(pre), jnp.ones(500, bool), SPEC)
+    ga2, gb2 = vm.make_grid(SPEC, origin), vm.make_grid(SPEC, origin)
+    gb2 = vm.insert_points(gb2, jnp.asarray(pre), jnp.ones(500, bool), SPEC)
+
+    ga1 = vm.insert_points(ga1, jnp.asarray(pts), mask, SPEC)
+    gb1 = vm.insert_points(gb1, jnp.asarray(pts), mask, SPEC)
+    ga2, gb2 = vm.insert_points_pair(ga2, gb2, jnp.asarray(pts), mask, SPEC)
+    np.testing.assert_allclose(np.asarray(ga1.stats), np.asarray(ga2.stats),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb1.stats), np.asarray(gb2.stats),
+                               atol=1e-4)

@@ -157,6 +157,8 @@ def cmd_run_sim(args):
                                     chunk=args.chunk, mesh=mesh)
             pipe = DeviceSlamPipeline(cfg, kf_points=4096,
                                       log_capacity=max(n_scans, 8192),
+                                      sync_every=getattr(args, "sync_every",
+                                                         4),
                                       mesh=mesh)
         t0 = time.perf_counter()
         feed = scans
@@ -699,6 +701,10 @@ def main(argv=None):
     ps.add_argument("--prefetch-depth", type=int, default=2,
                     help="staged chunks in flight (deeper hides more of the "
                     "relay's per-transfer h2d latency at the cost of HBM)")
+    ps.add_argument("--sync-every", type=int, default=4,
+                    help="block_until_ready every N chunks (device-queue "
+                    "drain cadence; deeper prefetch buffers through the "
+                    "sync stall)")
     ps.add_argument("--prefetch-threads", type=int, default=2,
                     help="producer threads (render/read + stage + h2d)")
     ps.add_argument("--loop-method", default="sc",

@@ -153,8 +153,9 @@ def step(state: OdomState, xyz, mask, spec: OdomSpec,
     def insert(operand):
         ga, gb, travel, added = operand
         pts_map = se3.rotate_translate(pose, xyz)
-        ga = vm.insert_points(ga, pts_map, mask, spec.gspec)
-        gb = vm.insert_points(gb, pts_map, mask, spec.gspec)
+        # one fused scatter for both grids (identical origins by
+        # construction — see vm.insert_points_pair)
+        ga, gb = vm.insert_points_pair(ga, gb, pts_map, mask, spec.gspec)
         ga = vm.finalize(ga, spec.gspec)
         return ga, gb, travel + shift, pose
 

@@ -173,6 +173,41 @@ def insert_points(grid: VoxelGrid, xyz: jnp.ndarray, mask: jnp.ndarray,
     return grid._replace(stats=stats)
 
 
+@functools.partial(jax.jit, static_argnames=("spec",),
+                   donate_argnames=("ga", "gb"))
+def insert_points_pair(ga: VoxelGrid, gb: VoxelGrid, xyz: jnp.ndarray,
+                       mask: jnp.ndarray, spec: GridSpec):
+    """Insert the same scan into BOTH localmap grids with ONE scatter.
+
+    The odometry double-buffer (reference odom_node.cpp:329-356: every
+    qualifying scan goes into `localmap` AND `tmp_map`) keeps grids A/B at
+    IDENTICAL origins by construction (created together, recentred together,
+    swap reuses the origin), so the voxel indices coincide and the two
+    [N,10] scatter-adds — the latency-bound part, per-ROW cost — fuse into
+    one [N,20] scatter at roughly single-scatter cost (measured in bench
+    phase1/3; scatter rows are the cost, lanes are nearly free)."""
+    idx3, inb = _voxel_index3(spec, ga.origin, xyz)
+    flat = _flat(spec, idx3, inb & mask)
+    corner = ga.origin + idx3.astype(jnp.float32) * spec.resolution
+    local = xyz - corner
+    l = jnp.where((inb & mask)[:, None], local, 0.0)
+    row = jnp.concatenate(
+        [jnp.where(inb & mask, 1.0, 0.0)[:, None],
+         l,
+         jnp.stack([l[:, 0] * l[:, 0], l[:, 0] * l[:, 1], l[:, 0] * l[:, 2],
+                    l[:, 1] * l[:, 1], l[:, 1] * l[:, 2], l[:, 2] * l[:, 2]],
+                   -1)],
+        -1,
+    )
+    V = spec.num_voxels
+    both = jnp.concatenate([ga.stats, gb.stats], axis=1)        # [V,20]
+    both = jnp.concatenate(
+        [both, jnp.zeros((1, 20), both.dtype)]
+    ).at[flat].add(jnp.concatenate([row, row], axis=1))[:V]
+    return (ga._replace(stats=both[:, :10]),
+            gb._replace(stats=both[:, 10:]))
+
+
 @functools.partial(jax.jit, static_argnames=("spec",), donate_argnames=("grid",))
 def finalize(grid: VoxelGrid, spec: GridSpec) -> VoxelGrid:
     """Per-voxel mean / covariance / inflated inverse covariance

