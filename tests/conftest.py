@@ -19,7 +19,13 @@ jax.config.update("jax_platforms", "cpu")
 
 from xchu_slam_tpu.utils import compile_cache  # noqa: E402
 
-compile_cache.enable()
+# PER-XDIST-WORKER cache dirs: two workers writing one cache dir have
+# corrupted entries (observed rounds 4-5: a worker segfaults reading a
+# concurrently-written entry, goes defunct, and the master hangs at ~95%
+# forever). Worker names are stable (gw0/gw1/...), so cross-run reuse is
+# kept per worker.
+_worker = os.environ.get("PYTEST_XDIST_WORKER", "main")
+compile_cache.enable(os.path.join(compile_cache.DEFAULT_DIR, _worker))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
