@@ -339,8 +339,8 @@ def phase3(variant: str = "default"):
             "--engine", "device", "--out", f"out/bench_kitti00_{variant}"]
     if variant == "fast":
         args += ["--set", "filter.outlier_method=statistical_approx",
-                 "--prefetch-threads", "3", "--prefetch-depth", "4",
-                 "--render-procs", "3"]
+                 "--prefetch-threads", "3", "--prefetch-depth", "6",
+                 "--render-procs", "5"]
     elif variant == "realism":
         args += ["--realism"]
     t0 = time.perf_counter()
