@@ -342,7 +342,10 @@ def phase3(variant: str = "default"):
                  "--prefetch-threads", "3", "--prefetch-depth", "6",
                  "--render-procs", "5"]
     elif variant == "realism":
-        args += ["--realism"]
+        # the beam-level render is ~3x the plain render cost and equally
+        # GIL-bound, so the process producer matters even more here
+        args += ["--realism", "--prefetch-threads", "3",
+                 "--prefetch-depth", "6", "--render-procs", "5"]
     t0 = time.perf_counter()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
